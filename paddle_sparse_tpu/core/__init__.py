@@ -1,0 +1,5 @@
+"""Static-shape jit/TPU core types."""
+from .matrix import PaddedCOO
+from .spgemm import SpGEMMResult, matmul_padded, spspmm_padded
+
+__all__ = ["PaddedCOO", "SpGEMMResult", "matmul_padded", "spspmm_padded"]

@@ -1,0 +1,110 @@
+"""Static-shape (jittable) SpGEMM on PaddedCOO operands.
+
+The jit counterpart of ``ops.spspmm.spspmm_eager`` (same ESC formulation —
+see that module's docstring) with the two data-dependent sizes made static
+(SURVEY.md §7 "hard parts" #1/#2):
+
+* ``flop_capacity`` bounds the expansion stream (= multiplication count);
+  compute it once on host via ``ops.spspmm.spgemm_flops`` plus slack.
+* ``out_capacity`` bounds the coalesced output nnz.
+
+Both are checked at runtime: overflow saturates ``nnz`` at capacity and the
+returned ``overflowed`` flag lets callers detect truncation without a host
+sync in the middle of a step.
+"""
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .matrix import PaddedCOO
+
+
+class SpGEMMResult(NamedTuple):
+    matrix: PaddedCOO
+    overflowed: jax.Array   # () bool — True if either capacity was exceeded
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def spspmm_padded(A: PaddedCOO, B: PaddedCOO, flop_capacity: int,
+                  out_capacity: int) -> SpGEMMResult:
+    """C = A @ B with A (M, K), B (K, N) both padded & row-sorted."""
+    M, K = A.shape
+    K2, N = B.shape
+    assert K == K2, f"size mismatch {A.shape} @ {B.shape}"
+    idx = A.row.dtype
+
+    rowptrB = B.rowptr()                      # (K + 1,)
+
+    # --- expansion sizes per A-edge ------------------------------------
+    validA = A.valid_mask()
+    colA = jnp.where(validA, A.col, 0)
+    degB = jnp.where(validA, rowptrB[colA + 1] - rowptrB[colA], 0)
+    ptrE = jnp.concatenate([jnp.zeros((1,), degB.dtype), jnp.cumsum(degB)])
+    total = ptrE[-1]
+
+    # --- materialize the padded multiplication stream ------------------
+    t = jnp.arange(flop_capacity, dtype=ptrE.dtype)
+    a_id = jnp.clip(jnp.searchsorted(ptrE, t, side="right") - 1, 0,
+                    A.capacity - 1)
+    valid_t = t < total
+    b_pos = jnp.clip(rowptrB[colA[a_id]] + (t - ptrE[a_id]), 0,
+                     B.capacity - 1)
+    out_row = jnp.where(valid_t, A.row[a_id], M).astype(idx)
+    out_col = jnp.where(valid_t, B.col[b_pos], N).astype(idx)
+
+    if A.value is not None or B.value is not None:
+        valA = (A.value if A.value is not None
+                else jnp.where(validA, 1.0, 0.0))
+        valB = (B.value if B.value is not None
+                else jnp.where(B.valid_mask(), 1.0, 0.0))
+        common = jnp.promote_types(valA.dtype, valB.dtype)
+        prod = (valA[a_id].astype(common) * valB[b_pos].astype(common))
+        prod = jnp.where(valid_t, prod, 0)
+    else:
+        prod = None
+
+    # --- sort stream by output coordinate (pads (M, N) sort last) ------
+    perm = jnp.lexsort((out_col, out_row))
+    out_row, out_col = out_row[perm], out_col[perm]
+    if prod is not None:
+        prod = prod[perm]
+    valid_t = out_row < M
+
+    # --- compress: first-occurrence mask + segment-sum -----------------
+    first = jnp.concatenate([
+        valid_t[:1],
+        valid_t[1:] & ((out_row[1:] != out_row[:-1]) |
+                       (out_col[1:] != out_col[:-1])),
+    ])
+    seg = jnp.cumsum(first) - 1
+    unique_count = jnp.sum(first)
+    new_nnz = jnp.minimum(unique_count, out_capacity).astype(jnp.int32)
+
+    slots = jnp.where(first & (seg < out_capacity), seg, out_capacity)
+    rowC = jnp.full((out_capacity,), M, idx).at[slots].set(out_row,
+                                                           mode="drop")
+    colC = jnp.full((out_capacity,), N, idx).at[slots].set(out_col,
+                                                           mode="drop")
+    arange_out = jnp.arange(out_capacity)
+    rowC = jnp.where(arange_out < new_nnz, rowC, M)
+    colC = jnp.where(arange_out < new_nnz, colC, N)
+
+    valC = None
+    if prod is not None:
+        seg_cl = jnp.where(valid_t & (seg < out_capacity), seg, out_capacity)
+        valC = jax.ops.segment_sum(prod, seg_cl,
+                                   num_segments=out_capacity + 1,
+                                   indices_are_sorted=True)[:out_capacity]
+        valC = jnp.where(arange_out < new_nnz, valC, 0)
+
+    overflowed = (total > flop_capacity) | (unique_count > out_capacity)
+    C = PaddedCOO(row=rowC, col=colC, value=valC, nnz=new_nnz, shape=(M, N))
+    return SpGEMMResult(matrix=C, overflowed=overflowed)
+
+
+def matmul_padded(A: PaddedCOO, B: PaddedCOO, flop_capacity: int,
+                  out_capacity: int) -> PaddedCOO:
+    """Convenience wrapper discarding the overflow flag."""
+    return spspmm_padded(A, B, flop_capacity, out_capacity).matrix

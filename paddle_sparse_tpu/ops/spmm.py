@@ -1,0 +1,93 @@
+"""Sparse @ dense matrix multiply (SpMM) — the framework's hottest kernel.
+
+The reference does not implement ``spmm`` (unsupported list,
+``/root/reference/README.md:45-61``); the upstream functional contract is
+documented at ``README.md:267-300`` and is what this module provides, built
+TPU-first:
+
+* forward ``sum``/``mean``: gather rows of the dense operand by ``col``,
+  scale by ``value`` and segment-reduce by ``row`` — an XLA gather + sorted
+  segment-sum that XLA fuses.  A Pallas kernel
+  (``ops/kernels/spmm_pallas.py``) replaces this path on TPU when it beats
+  the XLA lowering.
+* forward ``min``/``max``: segment-min/max of products, empty rows zeroed.
+* gradients: native JAX AD — the VJP of gather+segment-sum is exactly the
+  transpose SpMM (scatter by ``col``) plus an SDDMM-style sampled dot for
+  ``d value``, so autodiff already emits the operations a hand-written rule
+  would.  Index arrays are integer-typed and therefore automatically
+  non-differentiable, matching the reference's value-only autograd
+  (``README.md:96``).
+
+All entry points take ``num_rows`` / ``reduce`` statically, so they work both
+eagerly (exact nnz) and under ``jit`` (padded buffers; pad with ``value = 0``,
+``col = 0``, ``row = num_rows`` so padding lands in a dead row slot sliced off
+by the caller — see ``core.matrix``).
+"""
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _expand(value: jax.Array, ndim_extra: int) -> jax.Array:
+    return value.reshape(value.shape + (1,) * ndim_extra)
+
+
+def _products(col, value, x):
+    products = x[col]
+    if value is not None:
+        products = products * _expand(value, x.ndim - 1)
+    return products
+
+
+def _row_counts(row, num_rows, dtype):
+    return jax.ops.segment_sum(jnp.ones(row.shape, dtype), row,
+                               num_segments=num_rows, indices_are_sorted=True)
+
+
+def spmm_coo(row: jax.Array, col: jax.Array, value: Optional[jax.Array],
+             x: jax.Array, num_rows: int, reduce: str = "sum") -> jax.Array:
+    """``out[m] = reduce_{e: row[e]=m} value[e] * x[col[e]]``.
+
+    ``row`` must be sorted ascending (canonical storage order).  ``value``
+    may be ``None`` (implicit ones).  ``num_rows`` and ``reduce`` are static.
+    Differentiable in ``value`` and ``x``.
+    """
+    row = jnp.asarray(row)
+    col = jnp.asarray(col)
+    if value is not None:
+        value = jnp.asarray(value)
+        if value.ndim != 1:
+            raise ValueError("spmm expects scalar edge values (1-D)")
+        common = jnp.promote_types(value.dtype, x.dtype)
+        value = value.astype(common)
+        x = x.astype(common)
+
+    if reduce in ("sum", "add", "mean"):
+        out = jax.ops.segment_sum(_products(col, value, x), row,
+                                  num_segments=num_rows,
+                                  indices_are_sorted=True)
+        if reduce == "mean":
+            deg = _row_counts(row, num_rows, out.dtype)
+            deg = jnp.maximum(deg, 1).reshape((-1,) + (1,) * (out.ndim - 1))
+            out = out / deg
+        return out
+
+    if reduce in ("min", "max"):
+        fn = jax.ops.segment_max if reduce == "max" else jax.ops.segment_min
+        out = fn(_products(col, value, x), row, num_segments=num_rows,
+                 indices_are_sorted=True)
+        counts = _row_counts(row, num_rows, jnp.int32)
+        mask = (counts == 0).reshape((-1,) + (1,) * (out.ndim - 1))
+        return jnp.where(mask, jnp.zeros((), out.dtype), out)
+
+    raise ValueError(f"unknown reduction {reduce!r}")
+
+
+def spmm_csr(rowptr: jax.Array, col: jax.Array, value: Optional[jax.Array],
+             x: jax.Array, reduce: str = "sum") -> jax.Array:
+    """CSR entry point: derives sorted COO rows from ``rowptr``."""
+    from .convert import ptr2ind
+    num_rows = int(rowptr.shape[0]) - 1
+    row = ptr2ind(rowptr, int(col.shape[0]))
+    return spmm_coo(row, col, value, x, num_rows, reduce)

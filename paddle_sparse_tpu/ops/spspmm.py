@@ -1,0 +1,119 @@
+"""Sparse @ sparse matrix multiply (SpGEMM) via ESC (expand-sort-compress).
+
+Not implemented by the reference (unsupported list,
+``/root/reference/README.md:45-61``); upstream functional contract documented
+at ``README.md:302-354``.  The upstream CPU path used a parallel hash map
+(``csrc/cpu/utils.h:4``); hash maps don't vectorize on TPU, so this is the
+sort-based ESC formulation (SURVEY.md §7 step 4):
+
+1. *Expand*: every A-edge ``(i, k)`` fans out to all B-edges of row ``k``,
+   producing a stream of ``(i, colB, valA * valB)`` triples whose length is
+   the multiplication's FLOP count.
+2. *Sort*: lexicographic (i, colB) stable sort.
+3. *Compress*: first-occurrence mask + sorted segment-sum.
+
+The expansion length is data-dependent, so the jittable variant takes a static
+``capacity`` (padded, with a ``valid`` mask); the eager variant sizes exactly.
+
+Gradients (value-only): native JAX AD over the expansion stream — the VJP of
+``segment_sum(valA[a] * valB[b])`` is exactly the SDDMM-style sampled
+products ``dvalA = (dC @ B^T)|_A``, ``dvalB = (A^T @ dC)|_B`` with no dense
+intermediates, so autodiff emits what a hand-written rule would.
+"""
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .convert import ptr2ind
+
+
+class _Expansion(NamedTuple):
+    a_ids: jax.Array   # (T,) which A-edge produced each triple
+    b_pos: jax.Array   # (T,) which B-edge produced each triple
+    out_row: jax.Array
+    out_col: jax.Array
+
+
+def _expand_eager(rowA, colA, rowptrB, colB) -> _Expansion:
+    """Materialize the multiplication stream with exact (eager) length."""
+    degB = rowptrB[colA + 1] - rowptrB[colA]
+    ptrE = jnp.concatenate([jnp.zeros((1,), degB.dtype), jnp.cumsum(degB)])
+    total = int(ptrE[-1])
+    a_ids = ptr2ind(ptrE, total)
+    within = jnp.arange(total, dtype=ptrE.dtype) - ptrE[a_ids]
+    b_pos = rowptrB[colA[a_ids]] + within
+    return _Expansion(a_ids=a_ids, b_pos=b_pos, out_row=rowA[a_ids],
+                      out_col=colB[b_pos])
+
+
+def _sample_products(exp: _Expansion, num_out: int, keep, valA, valB):
+    """Segment-sum of valA[a_ids]*valB[b_pos] over output-entry segments.
+
+    Differentiable in valA/valB: the segment-sum/gather transposes are the
+    SDDMM-sampled gradient products."""
+    prod = valA[exp.a_ids] * valB[exp.b_pos]
+    seg_ids = jnp.cumsum(keep) - 1
+    return jax.ops.segment_sum(prod, seg_ids, num_segments=num_out,
+                               indices_are_sorted=True)
+
+
+def spspmm_eager(rowA, colA, valA: Optional[jax.Array],
+                 rowptrB, colB, valB: Optional[jax.Array],
+                 M: int, N: int) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """Eager SpGEMM on exact shapes.
+
+    Returns coalesced, row-sorted ``(rowC, colC, valC)`` of ``A @ B`` where A
+    is (M, K) in sorted COO and B is (K, N) in CSR.  ``valC`` is None iff both
+    inputs are structural (value-less); a single-sided value broadcasts
+    against implicit ones.
+    """
+    rowA = jnp.asarray(rowA)
+    colA = jnp.asarray(colA)
+    rowptrB = jnp.asarray(rowptrB)
+    colB = jnp.asarray(colB)
+
+    if int(rowA.shape[0]) == 0 or int(colB.shape[0]) == 0:
+        empty = jnp.zeros((0,), rowA.dtype)
+        val = None if (valA is None and valB is None) else jnp.zeros((0,))
+        return empty, empty, val
+
+    exp = _expand_eager(rowA, colA, rowptrB, colB)
+    total = int(exp.a_ids.shape[0])
+    if total == 0:
+        empty = jnp.zeros((0,), rowA.dtype)
+        val = None if (valA is None and valB is None) else jnp.zeros((0,))
+        return empty, empty, val
+
+    # sort the triple stream by output coordinate
+    perm = jnp.lexsort((exp.out_col, exp.out_row))
+    exp = _Expansion(a_ids=exp.a_ids[perm], b_pos=exp.b_pos[perm],
+                     out_row=exp.out_row[perm], out_col=exp.out_col[perm])
+
+    keep = jnp.concatenate([
+        jnp.ones((1,), dtype=jnp.int32),
+        ((exp.out_row[1:] != exp.out_row[:-1]) |
+         (exp.out_col[1:] != exp.out_col[:-1])).astype(jnp.int32),
+    ])
+    seg_starts = jnp.nonzero(keep)[0]
+    rowC = exp.out_row[seg_starts]
+    colC = exp.out_col[seg_starts]
+
+    if valA is None and valB is None:
+        return rowC, colC, None
+    ones = lambda n, d: jnp.ones((n,), dtype=d)  # noqa: E731
+    if valA is None:
+        valA = ones(int(rowA.shape[0]), jnp.asarray(valB).dtype)
+    if valB is None:
+        valB = ones(int(colB.shape[0]), jnp.asarray(valA).dtype)
+    common = jnp.promote_types(valA.dtype, valB.dtype)
+    valC = _sample_products(exp, int(seg_starts.shape[0]), keep,
+                            jnp.asarray(valA).astype(common),
+                            jnp.asarray(valB).astype(common))
+    return rowC, colC, valC
+
+
+def spgemm_flops(rowptrA, colA, rowptrB) -> int:
+    """Multiplication count of A @ B (size of the ESC expansion stream)."""
+    degB = rowptrB[1:] - rowptrB[:-1]
+    return int(degB[colA].sum())

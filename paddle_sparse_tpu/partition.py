@@ -1,0 +1,153 @@
+"""Graph partitioning and bandwidth-reducing reordering.
+
+Upstream-only APIs (``partition`` / ``reverse_cuthill_mckee`` are on the
+reference's unsupported list, ``/root/reference/README.md:45-61``; upstream
+binds METIS for the former).  Both are host-side *structural preprocessing*
+ops — they run once per graph before device compute — so they are implemented
+on host (numpy; accelerated by the C++ runtime extension when built):
+
+* ``partition``: multilevel-free balanced edge-cut partitioner — BFS region
+  growing seeded from high-degree vertices with a greedy boundary-refinement
+  pass.  Same call signature and return contract as upstream's METIS binding:
+  ``(permuted_adj, partptr, perm)``.
+* ``reverse_cuthill_mckee``: classic RCM (BFS from a pseudo-peripheral vertex,
+  neighbors visited in increasing-degree order, order reversed).
+"""
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .tensor import SparseTensor
+
+
+def _csr_numpy(src: SparseTensor) -> Tuple[np.ndarray, np.ndarray]:
+    rowptr, col, _ = src.csr()
+    return np.asarray(rowptr), np.asarray(col)
+
+
+def partition_clusters(src: SparseTensor, num_parts: int,
+                       rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Assign each node a cluster id in [0, num_parts) with near-equal sizes
+    and locality (BFS-grown regions + greedy refinement)."""
+    assert src.is_quadratic()
+    N = src.sparse_size(0)
+    if num_parts <= 1:
+        return np.zeros(N, dtype=np.int64)
+    rowptr, col = _csr_numpy(src)
+
+    from . import runtime
+    if runtime.available():
+        return runtime.partition_clusters(rowptr, col, num_parts)
+
+    deg = rowptr[1:] - rowptr[:-1]
+
+    target = (N + num_parts - 1) // num_parts
+    cluster = np.full(N, -1, dtype=np.int64)
+    sizes = np.zeros(num_parts, dtype=np.int64)
+
+    order = np.argsort(-deg)                     # seed from hubs outward
+    seed_iter = iter(order)
+    from collections import deque
+    for p in range(num_parts):
+        # find an unassigned seed
+        seed = next((s for s in seed_iter if cluster[s] < 0), None)
+        if seed is None:
+            break
+        frontier = deque([seed])
+        while frontier and sizes[p] < target:
+            v = frontier.popleft()
+            if cluster[v] >= 0:
+                continue
+            cluster[v] = p
+            sizes[p] += 1
+            for e in range(rowptr[v], rowptr[v + 1]):
+                u = col[e]
+                if cluster[u] < 0:
+                    frontier.append(u)
+
+    # leftover nodes -> smallest cluster (disconnected components etc.)
+    for v in np.nonzero(cluster < 0)[0]:
+        p = int(np.argmin(sizes))
+        cluster[v] = p
+        sizes[p] += 1
+
+    # one greedy refinement sweep: move boundary nodes to the neighbor-majority
+    # cluster when it does not unbalance (> target + 1)
+    for v in range(N):
+        if rowptr[v] == rowptr[v + 1]:
+            continue
+        neigh = cluster[col[rowptr[v]:rowptr[v + 1]]]
+        counts = np.bincount(neigh, minlength=num_parts)
+        best = int(np.argmax(counts))
+        cur = cluster[v]
+        if best != cur and counts[best] > counts[cur] and \
+                sizes[best] < target + 1:
+            cluster[v] = best
+            sizes[best] += 1
+            sizes[cur] -= 1
+    return cluster
+
+
+def partition(src: SparseTensor, num_parts: int, recursive: bool = False,
+              ) -> Tuple[SparseTensor, jnp.ndarray, jnp.ndarray]:
+    """Cluster + permute ``src`` so each partition's rows are contiguous.
+
+    Returns ``(out, partptr, perm)`` — the upstream METIS-binding contract:
+    ``out = src.permute(perm)``, ``partptr`` delimits partitions in the
+    permuted order.  ``recursive`` is accepted for API parity (the region
+    grower is non-recursive).
+    """
+    cluster = partition_clusters(src, num_parts)
+    perm_np = np.argsort(cluster, kind="stable")
+    sizes = np.bincount(cluster, minlength=max(num_parts, 1))
+    partptr_np = np.concatenate([[0], np.cumsum(sizes)])
+
+    idx_dtype = src.storage.col().dtype
+    perm = jnp.asarray(perm_np, dtype=idx_dtype)
+    partptr = jnp.asarray(partptr_np, dtype=idx_dtype)
+    out = src.permute(perm)
+    return out, partptr, perm
+
+
+def reverse_cuthill_mckee(src: SparseTensor,
+                          symmetric: Optional[bool] = None) -> jnp.ndarray:
+    """RCM permutation minimizing bandwidth.  Returns ``perm`` such that
+    ``src.permute(perm)`` has small bandwidth."""
+    assert src.is_quadratic()
+    adj = src if (symmetric or src.is_symmetric()) else src.to_symmetric()
+    rowptr, col = _csr_numpy(adj)
+    N = adj.sparse_size(0)
+
+    from . import runtime
+    if runtime.available():
+        perm_np = np.asarray(runtime.rcm(rowptr, col))
+        return jnp.asarray(perm_np, dtype=src.storage.col().dtype)
+
+    deg = rowptr[1:] - rowptr[:-1]
+
+    visited = np.zeros(N, dtype=bool)
+    order = np.empty(N, dtype=np.int64)
+    pos = 0
+    from collections import deque
+    # process components from lowest-degree roots (pseudo-peripheral heuristic)
+    for root in np.argsort(deg, kind="stable"):
+        if visited[root]:
+            continue
+        visited[root] = True
+        queue = deque([root])
+        while queue:
+            v = queue.popleft()
+            order[pos] = v
+            pos += 1
+            neigh = col[rowptr[v]:rowptr[v + 1]]
+            neigh = neigh[~visited[neigh]]
+            neigh = neigh[np.argsort(deg[neigh], kind="stable")]
+            visited[neigh] = True
+            queue.extend(neigh.tolist())
+    perm_np = order[::-1].copy()
+    return jnp.asarray(perm_np, dtype=src.storage.col().dtype)
+
+
+SparseTensor.partition = partition
+SparseTensor.reverse_cuthill_mckee = reverse_cuthill_mckee

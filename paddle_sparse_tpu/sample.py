@@ -1,0 +1,146 @@
+"""Neighbor sampling facade (reference parity: ``paddle_sparse/sample.py``
+plus the upstream-only ``saint_subgraph``).
+
+``sample`` is the vectorized uniform draw.  ``sample_adj`` here is the *host*
+sampler: it reproduces the reference C++ sampler's semantics exactly —
+including first-seen ``n_id`` ordering (``csrc/cpu/sample_cpu.cpp:33-60``) and
+per-row sorted columns (``:132-145``) — because minibatch subgraph
+construction is host-side data-loading work in this framework; the
+TPU-resident fixed-fanout sampler lives in ``ops/sample.py``
+(``sample_adj_padded``).  When the native C++ host sampler extension is built
+(``runtime/``), it transparently accelerates this path.
+"""
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .random import next_key
+from .tensor import SparseTensor
+
+
+def sample(src: SparseTensor, num_neighbors: int,
+           subset: Optional[jax.Array] = None,
+           key: Optional[jax.Array] = None) -> jax.Array:
+    """Uniform with-replacement neighbor draw: (rows, num_neighbors) cols."""
+    rowptr, col, _ = src.csr()
+    rowcount = src.storage.rowcount()
+    if subset is not None:
+        subset = jnp.asarray(subset)
+        rowcount = rowcount[subset]
+        rowptr = rowptr[subset]
+    else:
+        rowptr = rowptr[:-1]
+
+    if key is None:
+        key = next_key()
+    rand = jax.random.uniform(key, (rowcount.shape[0], num_neighbors))
+    rand = rand * rowcount.astype(rand.dtype)[:, None]
+    rand = rand.astype(col.dtype) + rowptr[:, None]
+    return col[rand]
+
+
+def sample_adj(src: SparseTensor, subset, num_neighbors: int,
+               replace: bool = False,
+               rng: Optional[np.random.Generator] = None,
+               ) -> Tuple[SparseTensor, jax.Array]:
+    """GraphSAGE-style sampled subgraph around ``subset`` seed rows.
+
+    Returns ``(adj, n_id)`` where ``adj`` is (len(subset), len(n_id)) with
+    the sampled edges' original values, and ``n_id`` maps local -> global
+    node ids (seeds first, then neighbors in first-seen order).
+    """
+    rowptr, col, value = src.csr()
+    rowptr_np = np.asarray(rowptr)
+    col_np = np.asarray(col)
+    subset_np = np.asarray(subset)
+
+    if rng is None:
+        from . import runtime
+        if runtime.available():
+            # native C++ sampler (identical contract; much faster host path)
+            seed_val = int(next_key()[0])
+            r_ptr, r_col, r_eid, r_nid = runtime.sample_adj(
+                rowptr_np, col_np, subset_np, num_neighbors, replace,
+                seed_val)
+            idx_dtype = col.dtype
+            e_id = jnp.asarray(r_eid, dtype=idx_dtype)
+            if value is not None:
+                value = value[e_id]
+            out = SparseTensor(
+                rowptr=jnp.asarray(r_ptr, dtype=idx_dtype),
+                col=jnp.asarray(r_col, dtype=idx_dtype), value=value,
+                sparse_sizes=(len(subset_np), len(r_nid)),
+                is_sorted=True, trust_data=True)
+            return out, jnp.asarray(r_nid, dtype=idx_dtype)
+        rng = np.random.default_rng(int(next_key()[0]))
+
+    n_id_map = {int(n): i for i, n in enumerate(subset_np)}
+    n_ids = list(subset_np.tolist())
+    out_rowptr = [0]
+    out_cols: list = []
+    out_eids: list = []
+
+    for n in subset_np:
+        lo, hi = int(rowptr_np[n]), int(rowptr_np[n + 1])
+        deg = hi - lo
+        if num_neighbors < 0:                      # full neighborhood
+            picks = range(lo, hi)
+        elif deg == 0:
+            picks = ()
+        elif replace:
+            picks = (lo + rng.integers(0, deg, size=num_neighbors)).tolist()
+        else:
+            k = min(deg, num_neighbors)
+            picks = (lo + rng.choice(deg, size=k, replace=False)).tolist()
+
+        local = []
+        for e in picks:
+            c = int(col_np[e])
+            if c not in n_id_map:
+                n_id_map[c] = len(n_ids)
+                n_ids.append(c)
+            local.append((n_id_map[c], int(e)))
+        local.sort()                                # per-row sorted cols
+        out_cols.extend(c for c, _ in local)
+        out_eids.extend(e for _, e in local)
+        out_rowptr.append(len(out_cols))
+
+    idx_dtype = col.dtype
+    out_rowptr_arr = jnp.asarray(np.asarray(out_rowptr), dtype=idx_dtype)
+    out_col_arr = jnp.asarray(np.asarray(out_cols, dtype=np.int64),
+                              dtype=idx_dtype)
+    e_id = jnp.asarray(np.asarray(out_eids, dtype=np.int64), dtype=idx_dtype)
+    n_id = jnp.asarray(np.asarray(n_ids, dtype=np.int64), dtype=idx_dtype)
+
+    if value is not None:
+        value = value[e_id]
+
+    out = SparseTensor(rowptr=out_rowptr_arr, col=out_col_arr, value=value,
+                       sparse_sizes=(len(subset_np), len(n_ids)),
+                       is_sorted=True, trust_data=True)
+    return out, n_id
+
+
+def saint_subgraph(src: SparseTensor, node_idx) -> Tuple[SparseTensor, jax.Array]:
+    """Induced subgraph on ``node_idx`` (GraphSAINT sampling support;
+    upstream-only API).  Returns ``(adj, e_id)`` with original edge values
+    and the source nnz positions of the kept edges."""
+    node_idx = jnp.asarray(node_idx)
+    tracker = src.set_value(
+        jnp.arange(src.nnz(), dtype=src.storage.col().dtype), layout="coo")
+    sub = tracker.index_select(0, node_idx).index_select(1, node_idx)
+    e_id = sub.storage.value()
+
+    value = src.storage.value()
+    if value is not None:
+        sub = sub.set_value(value[e_id], layout="coo")
+    else:
+        sub = sub.set_value(None)
+    return sub, e_id
+
+
+SparseTensor.sample = sample
+SparseTensor.sample_adj = sample_adj
+SparseTensor.saint_subgraph = saint_subgraph

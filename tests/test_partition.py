@@ -1,0 +1,75 @@
+"""Partition / RCM coverage (absent from the reference; upstream binds METIS,
+we ship a native partitioner with the same call contract)."""
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse
+import scipy.sparse.csgraph
+
+from paddle_sparse_tpu import SparseTensor, partition, reverse_cuthill_mckee
+
+
+def _ring_of_cliques(num_cliques=4, clique=5):
+    N = num_cliques * clique
+    dense = np.zeros((N, N))
+    for c in range(num_cliques):
+        s = c * clique
+        dense[s:s + clique, s:s + clique] = 1
+        t = ((c + 1) % num_cliques) * clique
+        dense[s, t] = dense[t, s] = 1
+    np.fill_diagonal(dense, 0)
+    return SparseTensor.from_dense(jnp.asarray(dense)), dense
+
+
+def test_partition_contract():
+    mat, dense = _ring_of_cliques()
+    out, partptr, perm = partition(mat, num_parts=4)
+    N = mat.sparse_size(0)
+
+    perm_np = np.asarray(perm)
+    assert sorted(perm_np.tolist()) == list(range(N))
+    partptr_np = np.asarray(partptr)
+    assert partptr_np[0] == 0 and partptr_np[-1] == N
+    assert (np.diff(partptr_np) >= 0).all()
+    # permuted adjacency is consistent
+    np.testing.assert_array_equal(
+        np.asarray(out.to_dense()), dense[np.ix_(perm_np, perm_np)])
+
+
+def test_partition_quality():
+    """Clique structure should be (mostly) recovered: intra-part edges
+    dominate."""
+    mat, dense = _ring_of_cliques()
+    out, partptr, perm = partition(mat, num_parts=4)
+    partptr_np = np.asarray(partptr)
+    permuted = np.asarray(out.to_dense())
+    intra = 0
+    for p in range(4):
+        s, e = partptr_np[p], partptr_np[p + 1]
+        intra += permuted[s:e, s:e].sum()
+    assert intra / permuted.sum() > 0.6
+
+
+def test_rcm_reduces_bandwidth():
+    r = np.random.default_rng(0)
+    N = 40
+    dense = np.zeros((N, N))
+    # banded matrix, randomly permuted
+    for i in range(N):
+        for j in range(max(0, i - 2), min(N, i + 3)):
+            dense[i, j] = 1
+    shuffle = r.permutation(N)
+    shuffled = dense[np.ix_(shuffle, shuffle)]
+    mat = SparseTensor.from_dense(jnp.asarray(shuffled))
+
+    assert mat.bandwidth() > 4
+    perm = reverse_cuthill_mckee(mat)
+    reordered = mat.permute(perm)
+    assert reordered.bandwidth() <= 6  # scipy RCM achieves ~2-5 here
+
+    sp = scipy.sparse.csr_matrix(shuffled)
+    scipy_perm = scipy.sparse.csgraph.reverse_cuthill_mckee(sp,
+                                                            symmetric_mode=True)
+    scipy_bw = int(np.abs(
+        np.subtract(*np.nonzero(shuffled[np.ix_(scipy_perm, scipy_perm)]))
+    ).max())
+    assert reordered.bandwidth() <= max(scipy_bw + 2, 5)

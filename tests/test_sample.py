@@ -1,0 +1,99 @@
+"""Sampling conformance (reference oracle: ``/root/reference/test/
+test_sample.py``) plus random-walk / saint coverage the reference lacks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paddle_sparse_tpu import SparseTensor, sample, sample_adj, saint_subgraph
+from paddle_sparse_tpu.rw import random_walk
+
+
+def test_sample():
+    row = jnp.asarray([0, 0, 2, 2])
+    col = jnp.asarray([1, 2, 0, 1])
+    adj = SparseTensor(row=row, col=col, sparse_sizes=(3, 3))
+
+    out = sample(adj, num_neighbors=1)
+    assert int(out.min()) >= 0 and int(out.max()) <= 2
+
+
+def _toy_adj():
+    row = jnp.asarray([0, 0, 0, 1, 1, 2, 2, 2, 2, 3, 4, 4, 5, 5])
+    col = jnp.asarray([1, 2, 3, 0, 2, 0, 1, 4, 5, 0, 2, 5, 2, 4])
+    value = jnp.arange(row.shape[0])
+    return SparseTensor(row=row, col=col, value=value, sparse_sizes=(6, 6))
+
+
+def test_sample_adj():
+    adj_t = _toy_adj()
+
+    out, n_id = sample_adj(adj_t, jnp.arange(2, 6), num_neighbors=-1)
+    assert n_id.tolist() == [2, 3, 4, 5, 0, 1]
+
+    row, col, val = out.coo()
+    assert row.tolist() == [0, 0, 0, 0, 1, 2, 2, 3, 3]
+    assert col.tolist() == [2, 3, 4, 5, 4, 0, 3, 0, 2]
+    assert val.tolist() == [7, 8, 5, 6, 9, 10, 11, 12, 13]
+
+    out, n_id = sample_adj(adj_t, jnp.arange(2, 6), num_neighbors=2,
+                           replace=True)
+    assert out.nnz() == 8
+
+    out, n_id = sample_adj(adj_t, jnp.arange(2, 6), num_neighbors=2,
+                           replace=False)
+    assert out.nnz() == 7  # node 3 has only one edge
+
+
+def test_sample_adj_padded_jit():
+    """The jittable fixed-fanout sampler: set-consistency with the graph."""
+    from paddle_sparse_tpu.ops.sample import sample_adj_padded
+    adj_t = _toy_adj()
+    rowptr, col, _ = adj_t.csr()
+    subset = jnp.arange(2, 6)
+    key = jax.random.PRNGKey(0)
+
+    out = sample_adj_padded(rowptr.astype(jnp.int32), col.astype(jnp.int32),
+                            subset.astype(jnp.int32), 2, False, key)
+    assert int(out.num_edges) == 7  # min(deg, 2) summed: 2+1+2+2
+    # every sampled edge must exist in the source graph
+    rowptr_np, col_np = np.asarray(rowptr), np.asarray(col)
+    n_id = np.asarray(out.n_id)
+    local_rowptr = np.asarray(out.rowptr)
+    for s in range(4):
+        seed_global = int(subset[s])
+        neighbors = set(
+            col_np[rowptr_np[seed_global]:rowptr_np[seed_global + 1]].tolist())
+        lo, hi = local_rowptr[s], local_rowptr[s + 1]
+        got = [int(n_id[c]) for c in np.asarray(out.col)[lo:hi]]
+        assert set(got).issubset(neighbors)
+        assert len(set(got)) == len(got)  # distinct (replace=False)
+
+
+def test_random_walk():
+    adj = _toy_adj()
+    walks = random_walk(adj, jnp.arange(6), walk_length=4,
+                        key=jax.random.PRNGKey(1))
+    walks_np = np.asarray(walks)
+    assert walks_np.shape == (6, 5)
+    assert (walks_np[:, 0] == np.arange(6)).all()
+    rowptr, col, _ = adj.csr()
+    rowptr_np, col_np = np.asarray(rowptr), np.asarray(col)
+    for i in range(6):
+        for t in range(4):
+            u, v = walks_np[i, t], walks_np[i, t + 1]
+            neigh = col_np[rowptr_np[u]:rowptr_np[u + 1]].tolist()
+            assert v in neigh or (len(neigh) == 0 and v == u)
+
+
+def test_saint_subgraph():
+    adj = _toy_adj()
+    node_idx = jnp.asarray([0, 2, 4])
+    sub, e_id = saint_subgraph(adj, node_idx)
+    dense = np.asarray(adj.to_dense())
+    expected = dense[np.ix_([0, 2, 4], [0, 2, 4])]
+    np.testing.assert_array_equal(np.asarray(sub.to_dense()), expected)
+    # e_id maps back to original edges
+    row, col, _ = adj.coo()
+    for local_pos, e in enumerate(np.asarray(e_id)):
+        r, c = int(row[e]), int(col[e])
+        assert r in [0, 2, 4] and c in [0, 2, 4]
