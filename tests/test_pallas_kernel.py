@@ -1,0 +1,94 @@
+"""Pallas SpMM kernel correctness (interpret mode on CPU; the real-TPU run
+is exercised by bench.py / experiments)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paddle_sparse_tpu.ops.kernels.spmm_pallas import (segment_rows_matmul,
+                                                       spmm_pallas)
+
+rng = np.random.default_rng(5)
+
+
+def _graph(M, N, nnz):
+    row = np.sort(rng.integers(0, M, nnz))
+    col = rng.integers(0, N, nnz)
+    order = np.lexsort((col, row))
+    row, col = row[order], col[order]
+    rowptr = np.searchsorted(row, np.arange(M + 1))
+    return row, col, rowptr
+
+
+@pytest.mark.parametrize("K", [64, 128, 256])
+def test_spmm_pallas_interpret(K):
+    M, N, nnz = 300, 200, 4000
+    row, col, rowptr = _graph(M, N, nnz)
+    val = rng.standard_normal(nnz).astype(np.float32)
+    x = rng.standard_normal((N, K)).astype(np.float32)
+
+    out = spmm_pallas(jnp.asarray(rowptr, jnp.int32),
+                      jnp.asarray(col, jnp.int32), jnp.asarray(val),
+                      jnp.asarray(x), interpret=True)
+    expected = np.zeros((M, K), np.float32)
+    np.add.at(expected, row, val[:, None] * x[col])
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_segment_rows_matmul_empty_rows():
+    """Rows with no edges and ragged tails must come out zero."""
+    M, K = 260, 64
+    row = np.asarray([0, 0, 5, 259])
+    products = np.ones((4, K), np.float32)
+    rowptr = np.searchsorted(row, np.arange(M + 1))
+    out = segment_rows_matmul(jnp.asarray(products),
+                              jnp.asarray(row, jnp.int32),
+                              jnp.asarray(rowptr, jnp.int32), M,
+                              interpret=True)
+    out_np = np.asarray(out)
+    assert out_np[0, 0] == 2.0
+    assert out_np[5, 0] == 1.0
+    assert out_np[259, 0] == 1.0
+    mask = np.ones(M, bool)
+    mask[[0, 5, 259]] = False
+    assert np.abs(out_np[mask]).max() == 0.0
+
+
+def test_spmm_backend_pallas_grads_interpret(monkeypatch):
+    """The custom-VJP pallas wrapper must match XLA gradients."""
+    import paddle_sparse_tpu.ops.kernels.spmm_pallas as kmod
+    import paddle_sparse_tpu.ops.spmm as smod
+
+    # route the pallas path through interpret mode on CPU
+    orig = kmod.segment_rows_matmul
+
+    def interp(products, row, rowptr, num_rows, **kw):
+        kw["interpret"] = True
+        return orig(products, row, rowptr, num_rows, **kw)
+
+    monkeypatch.setattr(smod, "_on_tpu", lambda x: False)
+    import paddle_sparse_tpu.ops.kernels.spmm_pallas as _k
+    monkeypatch.setattr(_k, "segment_rows_matmul", interp)
+
+    M, N, K, nnz = 40, 30, 64, 300
+    row, col, rowptr = _graph(M, N, nnz)
+    val = jnp.asarray(rng.standard_normal(nnz), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((N, K)), jnp.float32)
+    rowj = jnp.asarray(row, jnp.int32)
+    colj = jnp.asarray(col, jnp.int32)
+
+    def loss_p(v, xx):
+        return (smod.spmm_coo(rowj, colj, v, xx, M, "sum",
+                              backend="pallas") ** 2).sum()
+
+    def loss_x(v, xx):
+        return (smod.spmm_coo(rowj, colj, v, xx, M, "sum",
+                              backend="xla") ** 2).sum()
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(val, x)
+    gx = jax.grad(loss_x, argnums=(0, 1))(val, x)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]),
+                               rtol=1e-3, atol=1e-4)
