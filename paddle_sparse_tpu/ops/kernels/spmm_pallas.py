@@ -8,27 +8,24 @@ the scatter-style emitter serializes.  This kernel replaces it with a
 1. XLA performs the feature gather + edge scaling
    (``take(x, col) * value``), producing the scaled product stream
    ``P (nnz, K)`` in row-sorted order.
-2. This kernel walks row tiles (``R`` rows per grid step).  For each tile it
-   streams the tile's edge chunks (``E`` edges) from HBM via double-buffered
-   DMA, builds the 0/1 selection matrix ``S[r, e] = (row[e] == base + r)``
-   *in registers* (two iotas — no HBM traffic), and accumulates
-   ``acc += S @ P_chunk`` on the MXU.  All HBM reads/writes are sequential.
+2. The kernel walks a flat grid of *work items* — (row-tile, edge-chunk)
+   pairs, row-tiles of ``R`` rows, chunks of ``E`` edges.  Each item loads
+   its chunk (automatic, double-buffered Pallas pipelining — no manual DMA),
+   builds the 0/1 selection matrix ``S[r, e] = (row[e] == tile*R + r)`` from
+   two iotas (registers only), and accumulates ``out += S @ P_chunk`` on the
+   MXU.  Consecutive items of one tile map to the *same* output block, which
+   Pallas keeps resident in VMEM until the tile changes (standard reduction
+   grid pattern) — all HBM traffic is sequential.
 
-TPU-shape details:
+Work-item construction (host/XLA side): tile t covers chunks
+``[tile_ptr[t] // E, ceil(tile_ptr[t+1] / E))`` — boundary chunks are
+processed by both adjacent tiles, and foreign/padded edges self-mask because
+``row`` is globally sorted (their local index falls outside ``[0, R)``).
+The item count is bounded statically by ``nchunks + ntiles``.
 
-* Mosaic requires HBM DMA slices to be 128-lane aligned, so for ``K < 128``
-  the product stream is viewed as ``(nnz/f, 128)`` with ``f = 128 // K``
-  edges packed per lane-row (bit-identical reshape).  The one-hot matmul is
-  then done per sub-slot: ``acc += S_j @ P[:, j*K:(j+1)*K]`` where ``S_j``
-  selects the edges in packing slot ``j``.
-* Chunks are aligned to global ``E``-edge boundaries, not tile boundaries —
-  a chunk may contain edges of neighboring tiles, which contribute zero
-  because ``row`` is globally sorted and the one-hot range is
-  ``[base, base + R)``.  (Padding edges carry ``row = M_pad``.)
-
-Cost balance: flops/edge = ``R*K*2`` vs bytes/edge ``4*K + 4``; ``R = 128``,
-``K = 64`` puts the MXU (HIGHEST precision = 3-pass bf16) slightly under the
-HBM roofline, which is the target regime.
+Cost balance: flops/edge = ``R*K*2`` vs bytes/edge ``~4*K``; with R=128,
+K=64 and HIGHEST-precision f32 (3-pass bf16 MXU) the MXU stays at or under
+the HBM roofline, which is the target regime.
 """
 import functools
 from typing import Optional
@@ -38,68 +35,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128
 
+def _reduce_kernel(item_tile_ref, item_chunk_ref, item_first_ref,
+                   chunk_ref, rows_ref, out_ref, *, R: int, E: int):
+    i = pl.program_id(0)
+    t = item_tile_ref[i]
 
-def _reduce_kernel(
-    tile_ptr_ref,       # scalar prefetch: (num_tiles + 1,) int32
-    prod_hbm,           # (nnz_pad/f, 128) f32 — packed scaled products
-    row_hbm,            # (f, nnz_pad/f) int32 — row ids per packing slot
-    out_ref,            # (R, K) f32 — this tile's output rows
-    chunk_buf,          # VMEM (2, E/f, 128) f32
-    rowid_buf,          # VMEM (2, f, E/f) int32
-    acc_ref,            # VMEM (R, K) f32
-    sems,               # DMA semaphores (2, 2)
-    *, R: int, E: int, K: int, f: int):
-    rb = pl.program_id(0)
-    e0 = tile_ptr_ref[rb]
-    e1 = tile_ptr_ref[rb + 1]
-    # chunk range aligned to global E boundaries
-    c0 = e0 // E
-    c1 = jax.lax.max((e1 + E - 1) // E, c0 + 1)
-    base = rb * R
-    Ef = E // f
+    @pl.when(item_first_ref[i] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
-    def start_dma(slot, c):
-        start = pl.multiple_of(c * Ef, Ef)
-        pltpu.make_async_copy(prod_hbm.at[pl.ds(start, Ef), :],
-                              chunk_buf.at[slot], sems.at[slot, 0]).start()
-        pltpu.make_async_copy(row_hbm.at[:, pl.ds(start, Ef)],
-                              rowid_buf.at[slot], sems.at[slot, 1]).start()
-
-    def wait_dma(slot, c):
-        start = pl.multiple_of(c * Ef, Ef)
-        pltpu.make_async_copy(prod_hbm.at[pl.ds(start, Ef), :],
-                              chunk_buf.at[slot], sems.at[slot, 0]).wait()
-        pltpu.make_async_copy(row_hbm.at[:, pl.ds(start, Ef)],
-                              rowid_buf.at[slot], sems.at[slot, 1]).wait()
-
-    start_dma(0, c0)
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    local_r = jax.lax.broadcasted_iota(jnp.int32, (R, Ef), 0)
-
-    def body(c, _):
-        slot = jax.lax.rem(c - c0, jnp.int32(2))
-
-        @pl.when(c + 1 < c1)
-        def _():
-            start_dma(jax.lax.rem(c + 1 - c0, jnp.int32(2)), c + 1)
-
-        wait_dma(slot, c)
-        chunk = chunk_buf[slot]                      # (Ef, 128)
-        for j in range(f):
-            rows_j = rowid_buf[slot, j:j + 1, :]     # (1, Ef)
-            sel = (rows_j - base == local_r).astype(jnp.float32)
-            acc_ref[:] += jax.lax.dot_general(
-                sel, chunk[:, j * K:(j + 1) * K],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-        return 0
-
-    jax.lax.fori_loop(c0, c1, body, 0)
-    out_ref[:] = acc_ref[:]
+    base = t * R
+    local_r = jax.lax.broadcasted_iota(jnp.int32, (R, E), 0)
+    sel = (rows_ref[:] - base == local_r).astype(jnp.float32)   # (R, E)
+    out_ref[:] += jax.lax.dot_general(
+        sel, chunk_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit,
@@ -112,66 +65,68 @@ def segment_rows_matmul(products: jax.Array, row: jax.Array, rowptr: jax.Array,
     """Streaming CSR row-reduction: ``out[m] = sum_{row[e]=m} products[e]``.
 
     ``products`` (nnz, K) must be row-sorted; ``row`` the sorted row ids;
-    ``rowptr`` the CSR pointer (len num_rows + 1).  K must divide into 128
-    or be a multiple of 128.  Returns (num_rows, K) f32.
+    ``rowptr`` the CSR pointer (len num_rows + 1).  Returns (num_rows, K)
+    f32.
     """
     R, E = tile_rows, chunk_edges
     nnz, K = products.shape
-    if K >= LANES:
-        assert K % LANES == 0, f"K={K} must be a multiple of {LANES}"
-        f = 1
-    else:
-        assert LANES % K == 0, f"K={K} must divide {LANES}"
-        f = LANES // K
-    assert E % f == 0
 
     num_tiles = pl.cdiv(num_rows, R)
     M_pad = num_tiles * R
 
-    # pad the edge stream to a whole number of chunks (+1 slack chunk so the
-    # last tile's aligned range stays in bounds); pads sort after all tiles
-    pad_e = E + (-nnz) % E
-    products = jnp.pad(products.astype(jnp.float32), ((0, pad_e), (0, 0)))
-    row_p = jnp.pad(row.astype(jnp.int32), (0, pad_e),
-                    constant_values=M_pad)
+    pad_e = (-nnz) % E
     nnz_pad = nnz + pad_e
+    nchunks = nnz_pad // E
+    products = jnp.pad(products.astype(jnp.float32), ((0, pad_e), (0, 0)))
+    rows2d = jnp.pad(row.astype(jnp.int32), (0, pad_e),
+                     constant_values=M_pad).reshape(nchunks, E)
 
-    packed = products.reshape(nnz_pad // f, f * K) if f > 1 else products
-    # slot-j row ids: row of edge (i*f + j) at position (j, i)
-    rows_packed = row_p.reshape(nnz_pad // f, f).T if f > 1 \
-        else row_p.reshape(1, -1)
-
-    tile_ptr = rowptr[jnp.minimum(
-        jnp.arange(num_tiles + 1) * R, num_rows)].astype(jnp.int32)
+    # ---- work items: (tile, chunk) pairs, static bound ----------------
+    # Trailing pad items route to a dummy tile (block sliced off at the
+    # end): chunk 0's edges have local row >= R there, so they self-mask.
+    ITEMS = nchunks + num_tiles
+    tp = rowptr[jnp.minimum(jnp.arange(num_tiles + 1) * R,
+                            num_rows)].astype(jnp.int32)
+    c_start = tp[:-1] // E
+    c_end = jnp.maximum((tp[1:] + E - 1) // E, c_start + 1)
+    spans = c_end - c_start                       # >= 1 per tile
+    spans_ext = jnp.concatenate(
+        [spans, jnp.asarray([ITEMS], spans.dtype)])
+    c_start_ext = jnp.concatenate(
+        [c_start, jnp.zeros((1,), c_start.dtype)])
+    item_tile = jnp.repeat(jnp.arange(num_tiles + 1, dtype=jnp.int32),
+                           spans_ext, total_repeat_length=ITEMS)
+    span_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(spans_ext).astype(jnp.int32)])
+    pos = jnp.arange(ITEMS, dtype=jnp.int32) - span_start[item_tile]
+    item_chunk = jnp.clip(c_start_ext[item_tile] + pos, 0, nchunks - 1)
+    item_first = (pos == 0).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_tiles,),
+        num_scalar_prefetch=3,
+        grid=(ITEMS,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((E, K), lambda i, t, c, f: (c[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda i, t, c, f: (c[i], 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R, K), lambda i, ptr: (i, 0),
+        out_specs=pl.BlockSpec((R, K), lambda i, t, c, f: (t[i], 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, E // f, f * K), jnp.float32),
-            pltpu.VMEM((2, f, E // f), jnp.int32),
-            pltpu.VMEM((R, K), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
     )
 
-    kernel = functools.partial(_reduce_kernel, R=R, E=E, K=K, f=f)
+    kernel = functools.partial(_reduce_kernel, R=R, E=E)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((M_pad, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((M_pad + R, K), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nnz * R * K,
-            bytes_accessed=nnz * (4 * K + 4) + M_pad * K * 4,
+            flops=2 * ITEMS * R * E * K,
+            bytes_accessed=nnz_pad * (4 * K + 4) + M_pad * K * 4,
             transcendentals=0),
         interpret=interpret,
-    )(tile_ptr, packed, rows_packed)
+    )(item_tile, item_chunk, item_first, products, rows2d)
     return out[:num_rows]
 
 
@@ -183,7 +138,7 @@ def spmm_pallas(rowptr: jax.Array, col: jax.Array,
     """Full SpMM (sum-reduce): XLA gather/scale + Pallas row reduction.
 
     Forward only; gradients are wired by ``ops.spmm`` (backward = transpose
-    SpMM through the same kernel + an SDDMM for the value grad).
+    SpMM + an SDDMM for the value grad).
     """
     from ..convert import ptr2ind
     num_rows = int(rowptr.shape[0]) - 1
