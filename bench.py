@@ -69,10 +69,15 @@ def synthetic_graph(num_nodes: int, nnz: int, dim: int, key):
 
 
 def measure(backend: str):
-    """Return (fwd_s, fwdbwd_s, nnz, num_nodes, dim)."""
+    """Return (fwd_s, fwdbwd_s, nnz, num_nodes, dim).
+
+    All index arrays are passed to jit as ARGUMENTS (never closures): the
+    remote-compile transport serializes jaxpr constants into the compile
+    request, and 124M-edge index arrays exceed its size limit.
+    """
     import jax
-    import jax.numpy as jnp
-    from paddle_sparse_tpu.ops.spmm import spmm_coo
+    from paddle_sparse_tpu.ops.spmm import (make_spmm_plan, spmm_chunked,
+                                            spmm_coo)
 
     num_nodes, nnz, dim, iters = get_config()
     platform = jax.devices()[0].platform
@@ -84,32 +89,56 @@ def measure(backend: str):
     row, col, value, x, nnz = synthetic_graph(num_nodes, nnz, dim, key)
     jax.block_until_ready((row, col, value, x))
 
-    @jax.jit
-    def fwd(value, x):
-        return spmm_coo(row, col, value, x, num_nodes, "sum",
-                        backend=backend)
+    if backend == "pallas":
+        plan, structure = make_spmm_plan(row, col, num_nodes, num_nodes, dim)
+        jax.block_until_ready(structure)
 
-    @jax.jit
-    def fwd_bwd(value, x):
-        def loss(v, xx):
-            return spmm_coo(row, col, v, xx, num_nodes, "sum",
-                            backend=backend).sum()
-        l, grads = jax.value_and_grad(loss, argnums=(0, 1))(value, x)
-        return l, grads
+        @jax.jit
+        def fwd(structure, value, x):
+            return spmm_chunked(plan, structure, value, x)
 
-    jax.block_until_ready(fwd(value, x))
-    jax.block_until_ready(fwd_bwd(value, x))
+        @jax.jit
+        def fwd_bwd(structure, value, x):
+            def loss(v, xx):
+                return spmm_chunked(plan, structure, v, xx).sum()
+            return jax.value_and_grad(loss, argnums=(0, 1))(value, x)
+
+        args = (structure, value, x)
+    else:
+        @jax.jit
+        def fwd(row, col, value, x):
+            return spmm_coo(row, col, value, x, num_nodes, "sum",
+                            backend=backend)
+
+        @jax.jit
+        def fwd_bwd(row, col, value, x):
+            def loss(v, xx):
+                return spmm_coo(row, col, v, xx, num_nodes, "sum",
+                                backend=backend).sum()
+            return jax.value_and_grad(loss, argnums=(0, 1))(value, x)
+
+        args = (row, col, value, x)
+
+    def sync(tree):
+        """Force completion with a host read: jax.block_until_ready does
+        not actually block through remote-execution transports (axon)."""
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        return float(jnp.asarray(leaf).ravel()[0])
+
+    import jax.numpy as jnp
+    sync(fwd(*args))
+    sync(fwd_bwd(*args))
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(value, x)
-    jax.block_until_ready(out)
+        out = fwd(*args)
+    sync(out)
     fwd_s = (time.perf_counter() - t0) / iters
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        res = fwd_bwd(value, x)
-    jax.block_until_ready(res)
+        res = fwd_bwd(*args)
+    sync(res)
     fwdbwd_s = (time.perf_counter() - t0) / iters
     return fwd_s, fwdbwd_s, nnz, num_nodes, dim
 

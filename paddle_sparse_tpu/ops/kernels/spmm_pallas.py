@@ -8,24 +8,30 @@ the scatter-style emitter serializes.  This kernel replaces it with a
 1. XLA performs the feature gather + edge scaling
    (``take(x, col) * value``), producing the scaled product stream
    ``P (nnz, K)`` in row-sorted order.
-2. The kernel walks a flat grid of *work items* — (row-tile, edge-chunk)
-   pairs, row-tiles of ``R`` rows, chunks of ``E`` edges.  Each item loads
-   its chunk (automatic, double-buffered Pallas pipelining — no manual DMA),
-   builds the 0/1 selection matrix ``S[r, e] = (row[e] == tile*R + r)`` from
-   two iotas (registers only), and accumulates ``out += S @ P_chunk`` on the
-   MXU.  Consecutive items of one tile map to the *same* output block, which
-   Pallas keeps resident in VMEM until the tile changes (standard reduction
-   grid pattern) — all HBM traffic is sequential.
+2. The kernel walks a flat grid of *work items* — (edge-chunk, row-tile)
+   pairs ordered by chunk — chunks of ``E`` edges, tiles of ``R`` rows.
+   Each item selects its tile's edges out of the chunk with a 0/1 mask
+   built from the tile's CSR row bounds (two ``(R, 1)`` columns — no
+   per-edge row ids cross HBM at all) and accumulates
+   ``out_tile += S @ P_chunk`` on the MXU.
 
-Work-item construction (host/XLA side): tile t covers chunks
-``[tile_ptr[t] // E, ceil(tile_ptr[t+1] / E))`` — boundary chunks are
-processed by both adjacent tiles, and foreign/padded edges self-mask because
-``row`` is globally sorted (their local index falls outside ``[0, R)``).
-The item count is bounded statically by ``nchunks + ntiles``.
+Work-item order matters: items are sorted by (chunk, tile), and because
+edges are row-sorted BOTH the chunk index and the tile index are
+non-decreasing along the item list.  Pallas keeps a block resident in
+VMEM while consecutive items map to it, so every product chunk is fetched
+from HBM exactly once and every output tile is written back exactly once
+— all HBM traffic is sequential and minimal.  (Ordering by tile instead
+would re-fetch every tile-boundary chunk.)
 
-Cost balance: flops/edge = ``R*K*2`` vs bytes/edge ``~4*K``; with R=128,
-K=64 and HIGHEST-precision f32 (3-pass bf16 MXU) the MXU stays at or under
-the HBM roofline, which is the target regime.
+MXU precision: the selection matrix is exact in bf16, and the f32 product
+chunk is split into hi/lo bf16 halves (Dekker-style), so two one-pass
+bf16 matmuls reproduce ~f32 accuracy at 3x the throughput of
+``precision=HIGHEST`` (six passes).  With R=128, K=64 the kernel is
+memory-bound, which is the target regime.
+
+The reference has no SpMM (unsupported list, /root/reference/README.md:45);
+the functional contract implemented here is the upstream one documented at
+/root/reference/README.md:267-300.
 """
 import functools
 from typing import Optional
@@ -37,97 +43,299 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _reduce_kernel(item_tile_ref, item_chunk_ref, item_first_ref,
-                   chunk_ref, rows_ref, out_ref, *, R: int, E: int):
+                   start_ref, end_ref, chunk_ref, out_ref, *,
+                   R: int, E: int, split: bool):
     i = pl.program_id(0)
-    t = item_tile_ref[i]
 
     @pl.when(item_first_ref[i] == 1)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    base = t * R
-    local_r = jax.lax.broadcasted_iota(jnp.int32, (R, E), 0)
-    sel = (rows_ref[:] - base == local_r).astype(jnp.float32)   # (R, E)
-    out_ref[:] += jax.lax.dot_general(
-        sel, chunk_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    ch = item_chunk_ref[i]
+    e_ids = jax.lax.broadcasted_iota(jnp.int32, (R, E), 1) + ch * E
+    sel = (e_ids >= start_ref[:]) & (e_ids < end_ref[:])        # (R, E)
+    p = chunk_ref[:]
+    dn = (((1,), (0,)), ((), ()))
+    if split:
+        sel16 = sel.astype(jnp.bfloat16)
+        hi = p.astype(jnp.bfloat16)
+        lo = (p - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(sel16, hi, dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(sel16, lo, dimension_numbers=dn,
+                                        preferred_element_type=jnp.float32)
+    else:
+        acc = jax.lax.dot_general(sel.astype(jnp.float32), p,
+                                  dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+    out_ref[:] += acc
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("num_rows", "tile_rows", "chunk_edges",
-                                    "interpret"))
-def segment_rows_matmul(products: jax.Array, row: jax.Array, rowptr: jax.Array,
-                        num_rows: int, tile_rows: int = 128,
-                        chunk_edges: int = 2048,
-                        interpret: bool = False) -> jax.Array:
-    """Streaming CSR row-reduction: ``out[m] = sum_{row[e]=m} products[e]``.
+def _work_items_chunk_major(tp, nchunks_e: int, num_tiles: int, E: int):
+    """Work items ordered by (edge-chunk, row-tile).
 
-    ``products`` (nnz, K) must be row-sorted; ``row`` the sorted row ids;
-    ``rowptr`` the CSR pointer (len num_rows + 1).  Returns (num_rows, K)
-    f32.
+    ``tp`` is the tile-granular edge pointer (len num_tiles + 1, values in
+    [0, nchunks_e * E]).  Chunk c's items cover tiles
+    [t_end[c-1], t_end[c]] where t_end[c] is the tile containing chunk c's
+    last edge (forced to the last tile for the final chunk so empty
+    trailing tiles still get zeroed).  Both the chunk and tile sequences
+    are non-decreasing, so Pallas revisits == VMEM-resident blocks.
+
+    ``item_first`` marks the first item of each *tile* (zero-init): a
+    tile's first appearance is always at position > 0 inside some chunk's
+    span except tile 0 at item 0.
+
+    Static item count: ``nchunks_e + num_tiles`` (each chunk adds at most
+    its span; spans telescope to ``num_tiles - 1 + nchunks_e``).
     """
-    R, E = tile_rows, chunk_edges
-    nnz, K = products.shape
-
-    num_tiles = pl.cdiv(num_rows, R)
-    M_pad = num_tiles * R
-
-    pad_e = (-nnz) % E
-    nnz_pad = nnz + pad_e
-    nchunks = nnz_pad // E
-    products = jnp.pad(products.astype(jnp.float32), ((0, pad_e), (0, 0)))
-    rows2d = jnp.pad(row.astype(jnp.int32), (0, pad_e),
-                     constant_values=M_pad).reshape(nchunks, E)
-
-    # ---- work items: (tile, chunk) pairs, static bound ----------------
-    # Trailing pad items route to a dummy tile (block sliced off at the
-    # end): chunk 0's edges have local row >= R there, so they self-mask.
-    ITEMS = nchunks + num_tiles
-    tp = rowptr[jnp.minimum(jnp.arange(num_tiles + 1) * R,
-                            num_rows)].astype(jnp.int32)
-    c_start = tp[:-1] // E
-    c_end = jnp.maximum((tp[1:] + E - 1) // E, c_start + 1)
-    spans = c_end - c_start                       # >= 1 per tile
+    ITEMS = nchunks_e + num_tiles
+    edge_last = jnp.arange(1, nchunks_e + 1, dtype=tp.dtype) * E - 1
+    t_end = jnp.clip(
+        jnp.searchsorted(tp, edge_last, side="right") - 1, 0, num_tiles - 1)
+    t_end = t_end.at[-1].set(num_tiles - 1)
+    t_prev = jnp.concatenate([jnp.zeros((1,), t_end.dtype), t_end[:-1]])
+    spans = t_end - t_prev + 1                    # >= 1 per chunk
     spans_ext = jnp.concatenate(
         [spans, jnp.asarray([ITEMS], spans.dtype)])
-    c_start_ext = jnp.concatenate(
-        [c_start, jnp.zeros((1,), c_start.dtype)])
-    item_tile = jnp.repeat(jnp.arange(num_tiles + 1, dtype=jnp.int32),
-                           spans_ext, total_repeat_length=ITEMS)
+    t_prev_ext = jnp.concatenate(
+        [t_prev, jnp.asarray([num_tiles], t_prev.dtype)])
+    item_chunk_raw = jnp.repeat(
+        jnp.arange(nchunks_e + 1, dtype=jnp.int32), spans_ext,
+        total_repeat_length=ITEMS)
     span_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
          jnp.cumsum(spans_ext).astype(jnp.int32)])
-    pos = jnp.arange(ITEMS, dtype=jnp.int32) - span_start[item_tile]
-    item_chunk = jnp.clip(c_start_ext[item_tile] + pos, 0, nchunks - 1)
-    item_first = (pos == 0).astype(jnp.int32)
+    pos = jnp.arange(ITEMS, dtype=jnp.int32) - span_start[item_chunk_raw]
+    item_tile = jnp.clip(t_prev_ext[item_chunk_raw] + pos,
+                         0, num_tiles).astype(jnp.int32)
+    item_chunk = jnp.clip(item_chunk_raw, 0, nchunks_e - 1)
+    item_first = ((pos > 0) |
+                  (jnp.arange(ITEMS) == 0)).astype(jnp.int32)
+    return ITEMS, item_tile, item_chunk, item_first
 
+
+def _reduce_call(bounds_start, bounds_end, products2d, items, num_tiles,
+                 R, E, K, split, interpret):
+    """Shared pallas_call wrapper: (num_tiles+1) output blocks, dummy tile
+    sliced off by the caller."""
+    ITEMS, item_tile, item_chunk, item_first = items
+    nchunks_e = products2d.shape[0] // E
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ITEMS,),
         in_specs=[
-            pl.BlockSpec((E, K), lambda i, t, c, f: (c[i], 0),
+            pl.BlockSpec((R, 1), lambda i, t, c, f: (t[i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, E), lambda i, t, c, f: (c[i], 0),
+            pl.BlockSpec((R, 1), lambda i, t, c, f: (t[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, K), lambda i, t, c, f: (c[i], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((R, K), lambda i, t, c, f: (t[i], 0),
                                memory_space=pltpu.VMEM),
     )
-
-    kernel = functools.partial(_reduce_kernel, R=R, E=E)
-    out = pl.pallas_call(
+    kernel = functools.partial(_reduce_kernel, R=R, E=E, split=split)
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((M_pad + R, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(((num_tiles + 1) * R, K),
+                                       jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * ITEMS * R * E * K,
-            bytes_accessed=nnz_pad * (4 * K + 4) + M_pad * K * 4,
+            flops=2 * ITEMS * R * E * K * (2 if split else 6),
+            bytes_accessed=nchunks_e * E * 4 * K
+            + (num_tiles + 1) * R * (K + 2) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(item_tile, item_chunk, item_first, products, rows2d)
+    )(item_tile, item_chunk, item_first, bounds_start, bounds_end,
+      products2d)
+
+
+def _row_bounds(rowptr_rows, num_tiles, R, cap):
+    """(num_tiles+1)*R x 1 start/end columns from a per-row edge pointer
+    (len rows+1, clipped to [0, cap]); dummy tile rows get start=end=cap
+    (always-empty selection)."""
+    rows = rowptr_rows.shape[0] - 1
+    start = rowptr_rows[:-1]
+    end = rowptr_rows[1:]
+    pad = (num_tiles + 1) * R - rows
+    capv = jnp.full((pad,), cap, start.dtype)
+    start = jnp.concatenate([start, capv]).reshape(-1, 1)
+    end = jnp.concatenate([end, capv]).reshape(-1, 1)
+    return start, end
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_rows", "tile_rows", "chunk_edges",
+                                    "split", "interpret"))
+def segment_rows_matmul(products: jax.Array, row: Optional[jax.Array],
+                        rowptr: jax.Array, num_rows: int,
+                        tile_rows: int = 128, chunk_edges: int = 2048,
+                        split: bool = True,
+                        interpret: bool = False) -> jax.Array:
+    """Streaming CSR row-reduction: ``out[m] = sum_{rowptr[m]<=e<rowptr[m+1]}
+    products[e]``.
+
+    ``products`` (nnz, K) must be row-sorted; ``rowptr`` the CSR pointer
+    (len num_rows + 1).  ``row`` is accepted for API compatibility and
+    ignored (the kernel works entirely off row *bounds*).  Returns
+    (num_rows, K) f32.
+    """
+    del row
+    R, E = tile_rows, chunk_edges
+    nnz, K = products.shape
+
+    num_tiles = pl.cdiv(num_rows, R)
+    pad_e = (-nnz) % E
+    nnz_pad = nnz + pad_e
+    nchunks_e = max(1, nnz_pad // E)
+    products = jnp.pad(products.astype(jnp.float32), ((0, pad_e), (0, 0)))
+
+    rp = jnp.clip(rowptr.astype(jnp.int32), 0, nnz_pad)
+    # per-row bounds padded to tile grid; rows beyond num_rows are empty
+    pad_rows = num_tiles * R - num_rows
+    rp_full = jnp.concatenate(
+        [rp, jnp.full((pad_rows,), nnz, jnp.int32)])
+    bounds_start, bounds_end = _row_bounds(rp_full, num_tiles, R, nnz_pad)
+
+    tp = rp_full[jnp.minimum(jnp.arange(num_tiles + 1) * R,
+                             num_tiles * R)].astype(jnp.int32)
+    items = _work_items_chunk_major(tp, nchunks_e, num_tiles, E)
+
+    out = _reduce_call(bounds_start, bounds_end, products, items,
+                       num_tiles, R, E, K, split, interpret)
     return out[:num_rows]
+
+
+def plan_row_chunks(rowptr_host, feat_dim: int, value_bytes: int = 4,
+                    target_bytes: int = 512 * 1024 * 1024,
+                    tile_rows: int = 128, chunk_edges: int = 2048):
+    """Host-side chunk plan for :func:`spmm_csr_chunked`.
+
+    Splits the row space into equal contiguous blocks such that each
+    block's gathered product stream (``edges * feat_dim * value_bytes``)
+    stays near ``target_bytes``.  Returns ``(rows_per_chunk,
+    edge_capacity, num_chunks)`` — all static ints.  ``edge_capacity`` is
+    the max edge count over blocks (rounded up to ``chunk_edges``), so a
+    skewed row distribution inflates the per-chunk gather; callers with
+    power-law graphs should pass a smaller ``target_bytes``.
+    """
+    import numpy as np
+
+    def cdiv(a, b):
+        return -(-a // b)
+
+    ptr = np.asarray(rowptr_host, dtype=np.int64)
+    num_rows = int(ptr.shape[0]) - 1
+    nnz = int(ptr[-1])
+    total = max(1, nnz * feat_dim * value_bytes)
+    nchunks = max(1, cdiv(total, target_bytes))
+    R = tile_rows
+    CR = max(R, cdiv(cdiv(num_rows, nchunks), R) * R)
+    nchunks = max(1, cdiv(num_rows, CR))
+    bounds = ptr[np.minimum(np.arange(nchunks + 1) * CR, num_rows)]
+    ec = int(np.max(np.diff(bounds))) if nchunks > 0 else nnz
+    E = chunk_edges
+    EC = max(E, cdiv(ec, E) * E)
+    return CR, EC, nchunks
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_rows", "rows_per_chunk",
+                                    "edge_capacity", "tile_rows",
+                                    "chunk_edges", "split", "interpret"))
+def spmm_csr_chunked(rowptr: jax.Array, row: jax.Array, col: jax.Array,
+                     value: Optional[jax.Array], x: jax.Array,
+                     num_rows: int, rows_per_chunk: int, edge_capacity: int,
+                     tile_rows: int = 128, chunk_edges: int = 2048,
+                     split: bool = True,
+                     interpret: bool = False) -> jax.Array:
+    """Memory-bounded fused SpMM: gather + scale + Pallas row reduction,
+    processed in contiguous row blocks so the scaled product stream never
+    exceeds ``edge_capacity * K * 4`` bytes of HBM (vs ``nnz * K * 4`` for
+    the single-shot :func:`segment_rows_matmul` path — 31.7 GB at
+    ogbn-products scale, which cannot exist on a 16 GB chip).
+
+    Requirements: ``row`` sorted ascending; every ``rows_per_chunk`` block
+    of rows holds at most ``edge_capacity`` edges (use
+    :func:`plan_row_chunks`).  Runs as a sequential ``lax.map`` over
+    blocks; each step gathers its edge window with XLA and reduces it with
+    the streaming work-item kernel.
+    """
+    del row
+    R, E = tile_rows, chunk_edges
+    CR, EC = rows_per_chunk, edge_capacity
+    assert CR % R == 0 and EC % E == 0
+    T = CR // R
+    NCE = EC // E
+    nblocks = pl.cdiv(num_rows, CR)
+    M_pad_total = nblocks * CR
+    nnz = col.shape[0]
+    K = x.shape[1]
+
+    rowptr = rowptr.astype(jnp.int32)
+    rowptr_pad = jnp.concatenate(
+        [rowptr, jnp.full((M_pad_total + 1 - rowptr.shape[0],),
+                          nnz, jnp.int32)])
+    col_pad = jnp.concatenate(
+        [col.astype(jnp.int32), jnp.zeros((EC,), jnp.int32)])
+    x32 = x.astype(jnp.float32)
+    val_pad = None
+    if value is not None:
+        val_pad = jnp.concatenate(
+            [value.astype(jnp.float32), jnp.zeros((EC,), jnp.float32)])
+
+    row_off = jnp.arange(CR + 1, dtype=jnp.int32)
+
+    def block_fn(c):
+        r0 = c * CR
+        rp_l = jnp.take(rowptr_pad, r0 + row_off, mode="clip")
+        e0 = rp_l[0]
+        rp_l = jnp.clip(rp_l - e0, 0, EC)
+        bounds_start, bounds_end = _row_bounds(rp_l, T, R, EC)
+
+        cols_l = jax.lax.dynamic_slice(col_pad, (e0,), (EC,))
+        prod = jnp.take(x32, cols_l, axis=0, mode="clip")
+        if val_pad is not None:
+            vals_l = jax.lax.dynamic_slice(val_pad, (e0,), (EC,))
+            prod = prod * vals_l[:, None]
+        # edges past this block's end: zero their bound windows via rp_l
+        # clip (their rows' [start, end) never reaches them)
+
+        tp = rp_l[jnp.arange(T + 1, dtype=jnp.int32) * R]
+        items = _work_items_chunk_major(tp, NCE, T, E)
+        out_c = _reduce_call(bounds_start, bounds_end, prod, items,
+                             T, R, E, K, split, interpret)
+        return out_c[:CR]
+
+    out = jax.lax.map(block_fn, jnp.arange(nblocks, dtype=jnp.int32))
+    return out.reshape(nblocks * CR, K)[:num_rows]
+
+
+def sddmm_dot_chunked(row: jax.Array, col: jax.Array, g: jax.Array,
+                      x: jax.Array, edge_chunk: int = 2 * 1024 * 1024,
+                      out_dtype=None) -> jax.Array:
+    """Per-edge sampled dot ``out[e] = g[row[e]] . x[col[e]]`` computed in
+    bounded edge windows (the value-gradient of SpMM at scales where the
+    two gathered (nnz, K) streams cannot be materialized whole)."""
+    nnz = row.shape[0]
+    EC = min(edge_chunk, max(1, nnz))
+    nchunks = -(-nnz // EC)
+    pad = nchunks * EC - nnz
+    row_p = jnp.pad(row, (0, pad))
+    col_p = jnp.pad(col, (0, pad))
+
+    def chunk_fn(c):
+        e0 = c * EC
+        r = jax.lax.dynamic_slice(row_p, (e0,), (EC,))
+        cl = jax.lax.dynamic_slice(col_p, (e0,), (EC,))
+        gr = jnp.take(g, r, axis=0, mode="clip").astype(jnp.float32)
+        xc = jnp.take(x, cl, axis=0, mode="clip").astype(jnp.float32)
+        return (gr * xc).sum(axis=1)
+
+    out = jax.lax.map(chunk_fn, jnp.arange(nchunks, dtype=jnp.int32))
+    out = out.reshape(nchunks * EC)[:nnz]
+    return out.astype(out_dtype or g.dtype)
 
 
 def spmm_pallas(rowptr: jax.Array, col: jax.Array,
@@ -140,10 +348,7 @@ def spmm_pallas(rowptr: jax.Array, col: jax.Array,
     Forward only; gradients are wired by ``ops.spmm`` (backward = transpose
     SpMM + an SDDMM for the value grad).
     """
-    from ..convert import ptr2ind
     num_rows = int(rowptr.shape[0]) - 1
-    if row is None:
-        row = ptr2ind(rowptr, int(col.shape[0]))
     products = jnp.take(x, col, axis=0, mode="clip").astype(jnp.float32)
     if value is not None:
         products = products * value[:, None].astype(jnp.float32)

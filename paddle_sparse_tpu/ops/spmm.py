@@ -23,7 +23,8 @@ eagerly (exact nnz) and under ``jit`` (padded buffers; pad with ``value = 0``,
 ``col = 0``, ``row = num_rows`` so padding lands in a dead row slot sliced off
 by the caller — see ``core.matrix``).
 """
-from typing import Optional
+import functools
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -106,6 +107,109 @@ def _spmm_sum_pallas_vjp(row, col, rowptr, num_rows):
     return f
 
 
+class SpmmStructure(NamedTuple):
+    """Device-resident index structure for the chunked SpMM bundle.
+
+    CSR of A plus the CSC view as a CSR of A^T (``rowptr_t = colptr``,
+    ``row_t = sorted col``, ``col_t = row[perm]``) and the sorting
+    permutation for edge values.  Passed to jitted code as ARGUMENTS, never
+    closed over: under remote-compile transports (axon tunnel) constants
+    are serialized into the compile request, and a 124M-edge graph's index
+    arrays exceed the request size limit (HTTP 413)."""
+    rowptr: jax.Array
+    row: jax.Array
+    col: jax.Array
+    rowptr_t: jax.Array
+    row_t: jax.Array
+    col_t: jax.Array
+    perm: jax.Array
+
+
+class SpmmPlan(NamedTuple):
+    """Static (hashable) chunking plan for :func:`spmm_chunked`."""
+    num_rows: int
+    num_cols: int
+    rows_per_chunk: int
+    edge_capacity: int
+    rows_per_chunk_t: int
+    edge_capacity_t: int
+    interpret: bool = False
+
+
+def make_spmm_plan(row, col, num_rows: int, num_cols: int, feat_dim: int,
+                   target_bytes: int = 512 * 1024 * 1024):
+    """Host-side setup for large-scale SpMM: builds the CSC permutation and
+    chunk plans once per sparse structure (eager; requires concrete
+    indices).  Returns ``(plan, structure)`` for :func:`spmm_chunked`."""
+    import numpy as np
+
+    from .convert import ind2ptr
+    from .kernels.spmm_pallas import plan_row_chunks
+
+    row = jnp.asarray(row)
+    col = jnp.asarray(col)
+    rowptr = ind2ptr(row, num_rows)
+    perm = jnp.argsort(col, stable=True)
+    row_t = jnp.take(col, perm)                 # sorted: rows of A^T
+    col_t = jnp.take(row, perm)
+    colptr = ind2ptr(row_t, num_cols)
+    CR, EC, _ = plan_row_chunks(np.asarray(rowptr), feat_dim,
+                                target_bytes=target_bytes)
+    CRT, ECT, _ = plan_row_chunks(np.asarray(colptr), feat_dim,
+                                  target_bytes=target_bytes)
+    interpret = jax.default_backend() == "cpu"
+    plan = SpmmPlan(num_rows, num_cols, CR, EC, CRT, ECT, interpret)
+    structure = SpmmStructure(rowptr, row, col, colptr, row_t, col_t, perm)
+    return plan, structure
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def spmm_chunked(plan: SpmmPlan, s: SpmmStructure,
+                 value: Optional[jax.Array], x: jax.Array) -> jax.Array:
+    """Memory-bounded fused Pallas SpMM (sum), differentiable in
+    ``(value, x)``.  Backward d_x runs as a chunked *sorted* transpose
+    SpMM over the CSC structure instead of an unsorted scatter; d_value is
+    a chunked SDDMM."""
+    from .kernels.spmm_pallas import spmm_csr_chunked
+    return spmm_csr_chunked(s.rowptr, s.row, s.col, value, x,
+                            plan.num_rows, plan.rows_per_chunk,
+                            plan.edge_capacity, interpret=plan.interpret)
+
+
+def _spmm_chunked_fwd(plan, s, value, x):
+    return spmm_chunked(plan, s, value, x), (s, value, x)
+
+
+def _spmm_chunked_bwd(plan, res, g):
+    import numpy as np
+
+    from .kernels.spmm_pallas import sddmm_dot_chunked, spmm_csr_chunked
+    s, value, x = res
+    if value is not None:
+        d_value = sddmm_dot_chunked(s.row, s.col, g, x,
+                                    out_dtype=value.dtype)
+        value_t = jnp.take(value, s.perm)
+    else:
+        d_value = None
+        value_t = None
+    d_x = spmm_csr_chunked(s.rowptr_t, s.row_t, s.col_t, value_t, g,
+                           plan.num_cols, plan.rows_per_chunk_t,
+                           plan.edge_capacity_t,
+                           interpret=plan.interpret).astype(x.dtype)
+    d_s = jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0), s)
+    return d_s, d_value, d_x
+
+
+spmm_chunked.defvjp(_spmm_chunked_fwd, _spmm_chunked_bwd)
+
+
+# Below this size the single-shot kernel (whole product stream in one HBM
+# buffer) is used; above it the chunked driver bounds peak memory.
+_CHUNK_THRESHOLD_BYTES = int(__import__("os").environ.get(
+    "PSP_SPMM_CHUNK_BYTES", 1 << 30))
+
+
 def spmm_coo(row: jax.Array, col: jax.Array, value: Optional[jax.Array],
              x: jax.Array, num_rows: int, reduce: str = "sum",
              backend: str = "auto") -> jax.Array:
@@ -133,6 +237,16 @@ def spmm_coo(row: jax.Array, col: jax.Array, value: Optional[jax.Array],
             x = x.astype(common)
         from .convert import ind2ptr
         rowptr = ind2ptr(row, num_rows)
+        # Large problems: bound peak HBM by processing contiguous row
+        # blocks (needs a concrete structure for host-side planning).
+        prod_bytes = col.shape[0] * (x.shape[-1] if x.ndim > 1 else 1) * 4
+        if (not isinstance(row, jax.core.Tracer)
+                and not isinstance(col, jax.core.Tracer)
+                and prod_bytes > _CHUNK_THRESHOLD_BYTES):
+            plan, structure = make_spmm_plan(row, col, num_rows,
+                                             int(x.shape[0]),
+                                             int(x.shape[-1]))
+            return spmm_chunked(plan, structure, value, x)
         return _spmm_sum_pallas_vjp(row, col, rowptr, num_rows)(value, x)
     if value is not None:
         value = jnp.asarray(value)
