@@ -48,7 +48,10 @@ def device_bandwidth():
 def get_config():
     num_nodes = int(os.environ.get("BENCH_NODES", 2_449_029))
     nnz = int(os.environ.get("BENCH_NNZ", 123_718_280))
-    dim = int(os.environ.get("BENCH_DIM", 64))
+    # 256 is the upper of BASELINE.md's two target widths (64/256); it uses
+    # full 128-lane tiles (f32 K=64 arrays are 2x lane-padded on TPU) and
+    # amortizes the per-row gather cost over 4x the payload.
+    dim = int(os.environ.get("BENCH_DIM", 256))
     iters = int(os.environ.get("BENCH_ITERS", 10))
     return num_nodes, nnz, dim, iters
 

@@ -23,13 +23,13 @@ from .storage import SparseStorage  # noqa: E402
 from .tensor import SparseTensor  # noqa: E402
 
 # Import op modules for their side effect of binding SparseTensor methods.
-from .narrow import narrow  # noqa: E402
+from .narrow import narrow, __narrow_diag__  # noqa: E402
 from .select import select  # noqa: E402
 from .index_select import index_select, index_select_nnz  # noqa: E402
 from .masked_select import masked_select, masked_select_nnz  # noqa: E402
 from .permute import permute  # noqa: E402
-from .add import add  # noqa: E402
-from .mul import mul  # noqa: E402
+from .add import add, add_, add_nnz, add_nnz_  # noqa: E402
+from .mul import mul, mul_, mul_nnz, mul_nnz_  # noqa: E402
 from .reduce import max, mean, min, reduction, sum  # noqa: E402,A004
 from .cat import cat  # noqa: E402
 from .transpose import t, transpose  # noqa: E402
@@ -55,6 +55,7 @@ __all__ = [
     "SparseStorage",
     "SparseTensor",
     "narrow",
+    "__narrow_diag__",
     "select",
     "index_select",
     "index_select_nnz",
@@ -62,7 +63,13 @@ __all__ = [
     "masked_select_nnz",
     "permute",
     "add",
+    "add_",
+    "add_nnz",
+    "add_nnz_",
     "mul",
+    "mul_",
+    "mul_nnz",
+    "mul_nnz_",
     "reduction",
     "sum",
     "mean",

@@ -313,12 +313,14 @@ def spmm_csr_chunked(rowptr: jax.Array, row: jax.Array, col: jax.Array,
 
 
 def sddmm_dot_chunked(row: jax.Array, col: jax.Array, g: jax.Array,
-                      x: jax.Array, edge_chunk: int = 2 * 1024 * 1024,
+                      x: jax.Array, target_bytes: int = 512 * 1024 * 1024,
                       out_dtype=None) -> jax.Array:
     """Per-edge sampled dot ``out[e] = g[row[e]] . x[col[e]]`` computed in
     bounded edge windows (the value-gradient of SpMM at scales where the
     two gathered (nnz, K) streams cannot be materialized whole)."""
     nnz = row.shape[0]
+    K = g.shape[-1]
+    edge_chunk = max(1024, target_bytes // (2 * K * 4))
     EC = min(edge_chunk, max(1, nnz))
     nchunks = -(-nnz // EC)
     pad = nchunks * EC - nnz

@@ -35,7 +35,10 @@ def _expand(value: jax.Array, ndim_extra: int) -> jax.Array:
 
 
 def _products(col, value, x):
-    products = x[col]
+    # mode="clip": padded entries carry col == N (one past the end); they
+    # either have value 0 or land in the dead output row the caller slices
+    # off, and clipping keeps eager (unjitted) evaluation legal.
+    products = jnp.take(x, col, axis=0, mode="clip")
     if value is not None:
         products = products * _expand(value, x.ndim - 1)
     return products

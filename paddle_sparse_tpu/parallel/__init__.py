@@ -8,6 +8,10 @@ analogue of ring attention — SURVEY.md §5).
 from .mesh import make_mesh, shard_rows
 from .spmm import (RowShardedMatrix, spmm_allgather, spmm_ring,
                    shard_padded_coo)
+from .spgemm import (device_put_blocks, gather_blocks, shard_padded_rows,
+                     spgemm_rowsharded)
 
 __all__ = ["make_mesh", "shard_rows", "RowShardedMatrix",
-           "spmm_allgather", "spmm_ring", "shard_padded_coo"]
+           "spmm_allgather", "spmm_ring", "shard_padded_coo",
+           "shard_padded_rows", "device_put_blocks", "spgemm_rowsharded",
+           "gather_blocks"]

@@ -135,3 +135,34 @@ def partition_clusters(rowptr: np.ndarray, col: np.ndarray,
     cluster = np.zeros(N, np.int64)
     lib.psp_partition(rowptr, col, N, num_parts, cluster)
     return cluster
+
+
+def compat_check(verbose: bool = False) -> dict:
+    """Runtime capability probe — the TPU-native analogue of the
+    reference's import-time CUDA version-parity gate
+    (``/root/reference/paddle_sparse/__init__.py:17-32`` comparing the
+    custom-op extension's compile-time ``CUDA_VERSION`` against the
+    framework's).  Here there is nothing compiled against a driver, so the
+    check reports what backs each subsystem instead of hard-failing:
+
+    * ``jax`` / ``jaxlib`` versions,
+    * whether the Pallas TPU lowering is importable (kernel path),
+    * whether the C++ host runtime built (falls back to numpy otherwise).
+    """
+    import jax
+    import jaxlib
+    info = {
+        "jax": jax.__version__,
+        "jaxlib": jaxlib.__version__,
+        "backend": jax.default_backend(),
+        "native_runtime": available(),
+    }
+    try:
+        from jax.experimental.pallas import tpu as _  # noqa: F401
+        info["pallas_tpu"] = True
+    except ImportError:  # pragma: no cover
+        info["pallas_tpu"] = False
+    if verbose:  # pragma: no cover
+        for k, v in info.items():
+            print(f"{k}: {v}")
+    return info

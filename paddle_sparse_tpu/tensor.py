@@ -433,6 +433,41 @@ class SparseTensor:
         return cls(row=indices[:, 0], col=indices[:, 1], value=mat.data,
                    sparse_sizes=(mat.shape[0], mat.shape[1]))
 
+    # Reference-compat names (reference tensor.py:110-155, :564-585): the
+    # backing framework's native sparse type is jax.experimental.sparse
+    # here, so the "paddle sparse tensor" bridges map onto BCOO/BCSR.
+    def to_paddle_sparse_coo_tensor(self, dtype=None):
+        out = self.to_jax_bcoo()
+        return out if dtype is None else out.astype(dtype)
+
+    @classmethod
+    def from_paddle_sparse_coo_tensor(cls, mat,
+                                      has_value: bool = True
+                                      ) -> "SparseTensor":
+        out = cls.from_jax_bcoo(mat)
+        return out if has_value else out.set_value(None)
+
+    def to_paddle_sparse_csr_tensor(self, dtype=None):
+        """Export as ``jax.experimental.sparse.BCSR``."""
+        from jax.experimental import sparse as jsparse
+        rowptr, col, value = self.csr()
+        if value is None:
+            value = jnp.ones((self.nnz(),), dtype=dtype or jnp.float32)
+        elif dtype is not None:
+            value = value.astype(dtype)
+        return jsparse.BCSR((value, col, rowptr), shape=tuple(self.sizes()))
+
+    @classmethod
+    def from_paddle_sparse_csr_tensor(cls, mat) -> "SparseTensor":
+        return cls(rowptr=mat.indptr, col=mat.indices, value=mat.data,
+                   sparse_sizes=(mat.shape[0], mat.shape[1]))
+
+    def to_paddle_sparse_csc_tensor(self, dtype=None):
+        # parity with the reference, which also raises (tensor.py:587-591)
+        raise NotImplementedError(
+            "jax.experimental.sparse has no CSC type; use csc() for the "
+            "raw (colptr, row, value) triple")
+
     def to_padded(self, capacity: Optional[int] = None):
         """Export to the static-shape jit/TPU core type
         (:class:`paddle_sparse_tpu.core.PaddedCOO`)."""

@@ -91,3 +91,43 @@ def test_graft_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (256, 8)
     mod.dryrun_multichip(8)
+
+
+def test_spgemm_rowsharded():
+    """Row-sharded distributed SpGEMM == dense A @ B on an 8-dev mesh."""
+    from paddle_sparse_tpu.core import PaddedCOO
+    from paddle_sparse_tpu.parallel import (device_put_blocks, gather_blocks,
+                                            make_mesh, shard_padded_rows,
+                                            spgemm_rowsharded)
+
+    if len(jax.devices()) < D:
+        pytest.skip(f"needs {D} virtual devices")
+    rng = np.random.default_rng(11)
+    M, K, N, nnzA, nnzB = 64, 48, 40, 400, 300
+    rowA = np.sort(rng.integers(0, M, nnzA))
+    colA = rng.integers(0, K, nnzA)
+    valA = rng.standard_normal(nnzA).astype(np.float32)
+    rowB = np.sort(rng.integers(0, K, nnzB))
+    colB = rng.integers(0, N, nnzB)
+    valB = rng.standard_normal(nnzB).astype(np.float32)
+
+    A = SparseTensor(row=jnp.asarray(rowA), col=jnp.asarray(colA),
+                     value=jnp.asarray(valA), sparse_sizes=(M, K)).coalesce()
+    B = SparseTensor(row=jnp.asarray(rowB), col=jnp.asarray(colB),
+                     value=jnp.asarray(valB), sparse_sizes=(K, N)).coalesce()
+    expected = np.asarray(A.to_dense()) @ np.asarray(B.to_dense())
+
+    mesh = make_mesh(D)
+    A_blocks, rows_per = shard_padded_rows(A, D)
+    A_blocks = device_put_blocks(mesh, A_blocks)
+    B_pad = B.to_padded()
+    B_pad = jax.device_put(B_pad, NamedSharding(mesh, P()))
+
+    C_blocks, overflowed = spgemm_rowsharded(mesh, A_blocks, B_pad,
+                                             flop_capacity=4096,
+                                             out_capacity=2048)
+    assert not bool(np.asarray(overflowed).any())
+    rowC, colC, valC = gather_blocks(C_blocks, rows_per, M, N)
+    got = np.zeros((M, N), np.float32)
+    np.add.at(got, (np.asarray(rowC), np.asarray(colC)), np.asarray(valC))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)

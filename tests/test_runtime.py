@@ -72,3 +72,43 @@ def test_native_partition_balanced():
     sizes = np.bincount(cluster, minlength=4)
     assert sizes.sum() == N
     assert sizes.max() <= N // 4 + 2
+
+
+def test_compat_check():
+    from paddle_sparse_tpu import runtime
+    info = runtime.compat_check()
+    assert info["pallas_tpu"] is True
+    assert "jax" in info and "jaxlib" in info
+
+
+def test_deterministic_bitwise():
+    """SURVEY.md §5: deterministic mode — two runs of the same jitted
+    sparse pipeline must agree bitwise (XLA is deterministic by
+    construction; this pins it)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from paddle_sparse_tpu.core import PaddedCOO
+
+    rng = np.random.default_rng(9)
+    M = N = 128
+    nnz = 1000
+    row = np.sort(rng.integers(0, M, nnz))
+    col = rng.integers(0, N, nnz)
+    order = np.lexsort((col, row))
+    adj = PaddedCOO.from_arrays(jnp.asarray(row[order], jnp.int32),
+                                jnp.asarray(col[order], jnp.int32),
+                                jnp.asarray(rng.random(nnz), jnp.float32),
+                                (M, N), capacity=1024)
+    x = jnp.asarray(rng.standard_normal((N, 32)), jnp.float32)
+
+    @jax.jit
+    def step(a, x):
+        h = a.spmm(x)
+        return jax.grad(lambda v: (a.with_value(v).spmm(x) ** 2).sum())(
+            a.value), h
+
+    g1, h1 = step(adj, x)
+    g2, h2 = step(adj, x)
+    assert np.array_equal(np.asarray(g1), np.asarray(g2))
+    assert np.array_equal(np.asarray(h1), np.asarray(h2))
