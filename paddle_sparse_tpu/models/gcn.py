@@ -117,6 +117,84 @@ def GIN(params, adj: PaddedCOO, x: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# GAT (graph attention)
+# ---------------------------------------------------------------------------
+def edge_softmax(adj: PaddedCOO, logits: jax.Array) -> jax.Array:
+    """Per-destination-row softmax over edge ``logits``.
+
+    ``logits`` has shape ``(capacity,)`` or ``(capacity, H)`` (multi-head).
+    Padded edges (``row == M`` sentinel) are masked to zero weight.  The
+    row-wise max subtraction keeps the exp numerically safe; both reductions
+    are sorted segment ops (row-sorted canonical layout), so XLA fuses the
+    whole thing into two passes over the edge stream.
+    """
+    row = jnp.clip(adj.row, 0, adj.M - 1)
+    valid = adj.valid_mask()
+    vmask = valid.reshape(valid.shape + (1,) * (logits.ndim - 1))
+    neg = jnp.asarray(-1e30, logits.dtype)
+    masked = jnp.where(vmask, logits, neg)
+    row_max = jax.ops.segment_max(masked, row, num_segments=adj.M,
+                                  indices_are_sorted=True)
+    row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+    e = jnp.where(vmask, jnp.exp(masked - row_max[row]), 0.0)
+    denom = jax.ops.segment_sum(e, row, num_segments=adj.M,
+                                indices_are_sorted=True)
+    return e / jnp.maximum(denom[row], 1e-16)
+
+
+def init_gat(key, in_dim: int, hidden: int, out_dim: int, heads: int = 4,
+             num_layers: int = 2) -> Dict[str, Any]:
+    keys = jax.random.split(key, 3 * num_layers)
+    dims = [in_dim] + [hidden * heads] * (num_layers - 1) + [out_dim]
+    layers = []
+    for i in range(num_layers):
+        h = heads if i < num_layers - 1 else 1
+        d_out = hidden if i < num_layers - 1 else out_dim
+        scale = (2.0 / dims[i]) ** 0.5
+        layers.append({
+            "w": jax.random.normal(keys[3 * i], (dims[i], h * d_out),
+                                   jnp.float32) * scale,
+            "a_src": jax.random.normal(keys[3 * i + 1], (h, d_out),
+                                       jnp.float32) * scale,
+            "a_dst": jax.random.normal(keys[3 * i + 2], (h, d_out),
+                                       jnp.float32) * scale,
+        })
+    return {"layers": layers}
+
+
+def GAT(params, adj: PaddedCOO, x: jax.Array,
+        negative_slope: float = 0.2) -> jax.Array:
+    """Velickovic-style graph attention network.
+
+    Edges attend source→destination along the sparse structure: per-edge
+    logits are LeakyReLU(a_dst·h[row] + a_src·h[col]); attention weights
+    come from :func:`edge_softmax`; aggregation is a per-head weighted
+    segment-sum (an SpMM with attention-valued entries).  Heads are
+    concatenated on hidden layers, averaged on the output layer.
+    """
+    h = x
+    n = len(params["layers"])
+    row = jnp.clip(adj.row, 0, adj.M - 1)
+    col = jnp.clip(adj.col, 0, adj.N - 1)
+    for i, layer in enumerate(params["layers"]):
+        H, D = layer["a_src"].shape  # head count / per-head dim are static
+        hw = (h @ layer["w"]).reshape(-1, H, D)             # (N, H, D)
+        alpha_dst = (hw * layer["a_dst"]).sum(-1)           # (N, H)
+        alpha_src = (hw * layer["a_src"]).sum(-1)
+        logits = alpha_dst[row] + alpha_src[col]            # (E, H)
+        logits = jax.nn.leaky_relu(logits, negative_slope)
+        att = edge_softmax(adj, logits)                     # (E, H)
+        msgs = hw[col] * att[:, :, None]                    # (E, H, D)
+        out = jax.ops.segment_sum(msgs, row, num_segments=adj.M,
+                                  indices_are_sorted=True)  # (M, H, D)
+        if i < n - 1:
+            h = jax.nn.elu(out.reshape(-1, H * D))
+        else:
+            h = out.mean(axis=1)
+    return h
+
+
+# ---------------------------------------------------------------------------
 # APPNP (predict-then-propagate)
 # ---------------------------------------------------------------------------
 def init_appnp(key, in_dim: int, hidden: int, out_dim: int) -> Dict[str, Any]:

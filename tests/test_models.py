@@ -6,8 +6,9 @@ import numpy as np
 
 from paddle_sparse_tpu import SparseTensor
 from paddle_sparse_tpu.core import PaddedCOO
-from paddle_sparse_tpu.models import (APPNP, GCN, GIN, GraphSAGE,
-                                      gcn_normalize, init_appnp, init_gcn,
+from paddle_sparse_tpu.models import (APPNP, GAT, GCN, GIN, GraphSAGE,
+                                      edge_softmax, gcn_normalize,
+                                      init_appnp, init_gat, init_gcn,
                                       init_gin, init_sage)
 
 rng = np.random.default_rng(11)
@@ -76,3 +77,42 @@ def test_other_model_families_run():
 
     appnp = APPNP(init_appnp(key, 8, 16, 4), adj_n, x, k=5)
     assert appnp.shape == (32, 4) and np.isfinite(np.asarray(appnp)).all()
+
+    gat = jax.jit(GAT)(init_gat(key, 8, 16, 4, heads=2), adj, x)
+    assert gat.shape == (32, 4) and np.isfinite(np.asarray(gat)).all()
+
+
+def test_edge_softmax_rows_sum_to_one():
+    adj, dense, x = _graph()
+    logits = jnp.asarray(
+        rng.standard_normal((adj.capacity, 3)), jnp.float32)
+    att = edge_softmax(adj, logits)
+    # padded edges get zero weight
+    assert float(jnp.abs(jnp.where(adj.valid_mask()[:, None],
+                                   0.0, att)).max()) == 0.0
+    row = np.clip(np.asarray(adj.row), 0, adj.M - 1)
+    sums = np.zeros((adj.M, 3), np.float64)
+    np.add.at(sums, row, np.asarray(att, np.float64))
+    nonempty = np.asarray(dense).sum(1) > 0
+    np.testing.assert_allclose(sums[nonempty], 1.0, atol=1e-5)
+
+
+def test_gat_train_step_decreases_loss():
+    adj, dense, x = _graph()
+    params = init_gat(jax.random.PRNGKey(3), 8, 8, 4, heads=2)
+    y = jnp.asarray(rng.integers(0, 4, 32))
+
+    @jax.jit
+    def loss_fn(params):
+        logits = GAT(params, adj, x)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    loss0, _ = grad_fn(params)
+    for _ in range(25):
+        loss, grads = grad_fn(params)
+        params = jax.tree_util.tree_map(lambda p, g: p - 0.05 * g, params,
+                                        grads)
+    loss_end, _ = grad_fn(params)
+    assert float(loss_end) < float(loss0)
