@@ -56,7 +56,13 @@ def _reduce_kernel(item_tile_ref, item_chunk_ref, item_first_ref,
     sel = (e_ids >= start_ref[:]) & (e_ids < end_ref[:])        # (R, E)
     p = chunk_ref[:]
     dn = (((1,), (0,)), ((), ()))
-    if split:
+    if p.dtype == jnp.bfloat16:
+        # bf16 product stream: the selection matrix is exact in bf16 and
+        # the input carries no low bits to lose — one MXU pass, f32 acc.
+        acc = jax.lax.dot_general(sel.astype(jnp.bfloat16), p,
+                                  dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32)
+    elif split:
         sel16 = sel.astype(jnp.bfloat16)
         hi = p.astype(jnp.bfloat16)
         lo = (p - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -189,7 +195,10 @@ def segment_rows_matmul(products: jax.Array, row: Optional[jax.Array],
     pad_e = (-nnz) % E
     nnz_pad = nnz + pad_e
     nchunks_e = max(1, nnz_pad // E)
-    products = jnp.pad(products.astype(jnp.float32), ((0, pad_e), (0, 0)))
+    # bf16 streams stay bf16 (half the HBM traffic, single MXU pass);
+    # everything else runs through the f32 hi/lo-split path.
+    pdt = jnp.bfloat16 if products.dtype == jnp.bfloat16 else jnp.float32
+    products = jnp.pad(products.astype(pdt), ((0, pad_e), (0, 0)))
 
     rp = jnp.clip(rowptr.astype(jnp.int32), 0, nnz_pad)
     # per-row bounds padded to tile grid; rows beyond num_rows are empty
@@ -279,11 +288,12 @@ def spmm_csr_chunked(rowptr: jax.Array, row: jax.Array, col: jax.Array,
                           nnz, jnp.int32)])
     col_pad = jnp.concatenate(
         [col.astype(jnp.int32), jnp.zeros((EC,), jnp.int32)])
-    x32 = x.astype(jnp.float32)
+    pdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    x32 = x.astype(pdt)
     val_pad = None
     if value is not None:
         val_pad = jnp.concatenate(
-            [value.astype(jnp.float32), jnp.zeros((EC,), jnp.float32)])
+            [value.astype(pdt), jnp.zeros((EC,), pdt)])
 
     row_off = jnp.arange(CR + 1, dtype=jnp.int32)
 
@@ -351,9 +361,10 @@ def spmm_pallas(rowptr: jax.Array, col: jax.Array,
     SpMM + an SDDMM for the value grad).
     """
     num_rows = int(rowptr.shape[0]) - 1
-    products = jnp.take(x, col, axis=0, mode="clip").astype(jnp.float32)
+    pdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    products = jnp.take(x, col, axis=0, mode="clip").astype(pdt)
     if value is not None:
-        products = products * value[:, None].astype(jnp.float32)
+        products = products * value[:, None].astype(pdt)
     return segment_rows_matmul(products, row, rowptr, num_rows,
                                tile_rows=tile_rows, chunk_edges=chunk_edges,
                                interpret=interpret)

@@ -52,7 +52,7 @@ def _row_counts(row, num_rows, dtype):
 def _pallas_applicable(x, reduce) -> bool:
     if reduce not in ("sum", "add"):
         return False
-    if x.ndim != 2 or x.dtype != jnp.float32:
+    if x.ndim != 2 or x.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     K = x.shape[1]
     return (K >= 128 and K % 128 == 0) or (K < 128 and 128 % K == 0)
@@ -85,7 +85,9 @@ def _spmm_sum_pallas_vjp(row, col, rowptr, num_rows):
         products = jnp.take(x, col, axis=0, mode="clip")
         if value is not None:
             products = products * value[:, None]
-        return segment_rows_matmul(products, row, rowptr, num_rows)
+        out = segment_rows_matmul(products, row, rowptr, num_rows)
+        # kernel accumulates f32; match the XLA path's output dtype
+        return out.astype(x.dtype)
 
     def fwd(value, x):
         return f(value, x), (value, x)
@@ -249,7 +251,7 @@ def spmm_coo(row: jax.Array, col: jax.Array, value: Optional[jax.Array],
             plan, structure = make_spmm_plan(row, col, num_rows,
                                              int(x.shape[0]),
                                              int(x.shape[-1]))
-            return spmm_chunked(plan, structure, value, x)
+            return spmm_chunked(plan, structure, value, x).astype(x.dtype)
         return _spmm_sum_pallas_vjp(row, col, rowptr, num_rows)(value, x)
     if value is not None:
         value = jnp.asarray(value)

@@ -36,6 +36,29 @@ def test_spmm_pallas_interpret(K):
                                atol=1e-4)
 
 
+def test_spmm_pallas_bf16_interpret():
+    """bf16 product streams take the single-pass MXU path; accumulation is
+    f32 so results match the f32 reference at bf16 input resolution."""
+    M, N, K, nnz = 300, 200, 128, 4000
+    row, col, rowptr = _graph(M, N, nnz)
+    val = rng.standard_normal(nnz).astype(np.float32)
+    x = rng.standard_normal((N, K)).astype(np.float32)
+    val16 = jnp.asarray(val).astype(jnp.bfloat16)
+    x16 = jnp.asarray(x).astype(jnp.bfloat16)
+
+    out = spmm_pallas(jnp.asarray(rowptr, jnp.int32),
+                      jnp.asarray(col, jnp.int32), val16, x16,
+                      interpret=True)
+    assert out.dtype == jnp.float32  # kernel accumulator dtype
+    expected = np.zeros((M, K), np.float64)
+    np.add.at(expected, row,
+              np.asarray(val16, np.float64)[:, None]
+              * np.asarray(x16, np.float64)[col])
+    # bf16 inputs: ~0.8% per-product rounding; rows sum ~13 products
+    np.testing.assert_allclose(np.asarray(out, np.float64), expected,
+                               rtol=6e-2, atol=6e-2)
+
+
 def test_segment_rows_matmul_empty_rows():
     """Rows with no edges and ragged tails must come out zero."""
     M, K = 260, 64
