@@ -77,8 +77,17 @@ def measure(backend: str):
     All index arrays are passed to jit as ARGUMENTS (never closures): the
     remote-compile transport serializes jaxpr constants into the compile
     request, and 124M-edge index arrays exceed its size limit.
+
+    The iteration loop runs INSIDE one jit (``fori_loop`` with a scalar
+    data dependency chaining iterations): (a) device-true timing — a
+    Python-level loop over a remote tunnel measures dispatch latency, and
+    (b) bounded memory — queueing N async executions keeps N multi-GB
+    result buffers alive, which OOMs a 16 GB chip at ogbn-products scale.
     """
+    import functools
+
     import jax
+    import jax.numpy as jnp
     from paddle_sparse_tpu.ops.spmm import (make_spmm_plan, spmm_chunked,
                                             spmm_coo)
 
@@ -96,52 +105,51 @@ def measure(backend: str):
         plan, structure = make_spmm_plan(row, col, num_nodes, num_nodes, dim)
         jax.block_until_ready(structure)
 
-        @jax.jit
-        def fwd(structure, value, x):
-            return spmm_chunked(plan, structure, value, x)
-
-        @jax.jit
-        def fwd_bwd(structure, value, x):
-            def loss(v, xx):
-                return spmm_chunked(plan, structure, v, xx).sum()
-            return jax.value_and_grad(loss, argnums=(0, 1))(value, x)
+        def spmm_fn(s, v, xx):
+            return spmm_chunked(plan, s, v, xx)
 
         args = (structure, value, x)
     else:
-        @jax.jit
-        def fwd(row, col, value, x):
-            return spmm_coo(row, col, value, x, num_nodes, "sum",
+        def spmm_fn(rc, v, xx):
+            return spmm_coo(rc[0], rc[1], v, xx, num_nodes, "sum",
                             backend=backend)
 
-        @jax.jit
-        def fwd_bwd(row, col, value, x):
-            def loss(v, xx):
-                return spmm_coo(row, col, v, xx, num_nodes, "sum",
-                                backend=backend).sum()
-            return jax.value_and_grad(loss, argnums=(0, 1))(value, x)
+        args = ((row, col), value, x)
 
-        args = (row, col, value, x)
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def fwd_loop(s, value, x, n):
+        def body(i, acc):
+            # chain iterations through a scalar so XLA can neither hoist
+            # the spmm out of the loop nor keep N result buffers alive
+            v = value + acc * 0.0
+            out = spmm_fn(s, v, x)
+            return out[0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    def sync(tree):
-        """Force completion with a host read: jax.block_until_ready does
-        not actually block through remote-execution transports (axon)."""
-        leaf = jax.tree_util.tree_leaves(tree)[0]
-        return float(jnp.asarray(leaf).ravel()[0])
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def fwd_bwd_loop(s, value, x, n):
+        def loss(v, xx):
+            return spmm_fn(s, v, xx).sum()
 
-    import jax.numpy as jnp
-    sync(fwd(*args))
-    sync(fwd_bwd(*args))
+        def body(i, acc):
+            v = value + acc * 0.0
+            l, (dv, dx) = jax.value_and_grad(loss, argnums=(0, 1))(v, x)
+            return (dv[0] + dx[0, 0] + l).astype(jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
+    def run(fn, n):
+        """Host read forces completion: block_until_ready does not block
+        through remote-execution transports (axon)."""
+        return float(fn(*args, n=n))
+
+    run(fwd_loop, 1)          # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(*args)
-    sync(out)
+    run(fwd_loop, iters)
     fwd_s = (time.perf_counter() - t0) / iters
 
+    run(fwd_bwd_loop, 1)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        res = fwd_bwd(*args)
-    sync(res)
+    run(fwd_bwd_loop, iters)
     fwdbwd_s = (time.perf_counter() - t0) / iters
     return fwd_s, fwdbwd_s, nnz, num_nodes, dim
 
