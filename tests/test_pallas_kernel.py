@@ -90,7 +90,7 @@ def test_spmm_backend_pallas_grads_interpret(monkeypatch):
         kw["interpret"] = True
         return orig(products, row, rowptr, num_rows, **kw)
 
-    monkeypatch.setattr(smod, "_on_tpu", lambda x: False)
+    monkeypatch.setattr(smod, "_tpu_platform", lambda: False)
     import paddle_sparse_tpu.ops.kernels.spmm_pallas as _k
     monkeypatch.setattr(_k, "segment_rows_matmul", interp)
 

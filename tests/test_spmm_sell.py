@@ -1,0 +1,158 @@
+"""Tests for the padded-group (SELL) SpMM path and backend dispatch.
+
+Correctness oracle: dense matmul (numpy) and the XLA segment formulation.
+Covers ragged degrees, empty rows, value-less operands, rectangular
+shapes, gradients, and the platform-keyed auto dispatch (VERDICT round 1
+items 2/3).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paddle_sparse_tpu.ops import spmm as spmm_mod
+from paddle_sparse_tpu.ops.spmm import spmm_coo
+from paddle_sparse_tpu.ops.spmm_sell import make_sell_plan, spmm_sell
+
+
+def _rand_graph(rng, M, N, nnz, has_val=True, dtype=np.float32):
+    row = np.sort(rng.integers(0, M, nnz)).astype(np.int32)
+    col = rng.integers(0, N, nnz).astype(np.int32)
+    val = rng.normal(size=nnz).astype(dtype) if has_val else None
+    return row, col, val
+
+
+def _dense(row, col, val, M, N):
+    A = np.zeros((M, N), np.float64)
+    np.add.at(A, (row, col),
+              val if val is not None else np.ones(len(row)))
+    return A
+
+
+@pytest.mark.parametrize("M,N,nnz,K,G,has_val", [
+    (50, 40, 300, 16, 4, True),
+    (7, 9, 5, 8, 32, True),        # group larger than any degree
+    (100, 100, 1000, 32, 8, False),
+    (3, 3, 1, 4, 8, True),         # near-empty
+    (64, 80, 900, 24, 32, True),   # rectangular, K not lane-aligned
+    (128, 128, 4000, 128, 32, True),  # high degree (multi-group rows)
+])
+def test_sell_forward_matches_dense(M, N, nnz, K, G, has_val):
+    rng = np.random.default_rng(M * 1000 + nnz)
+    row, col, val = _rand_graph(rng, M, N, nnz, has_val)
+    x = rng.normal(size=(N, K)).astype(np.float32)
+    plan, s = make_sell_plan(row, col, M, N, group=G, feat_dim=K)
+    v = None if val is None else jnp.asarray(val)
+    out = np.asarray(spmm_sell(plan, s, v, jnp.asarray(x)))
+    want = _dense(row, col, val, M, N) @ x
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sell_empty_rows_zero():
+    # rows 0 and 3 empty; row 2 has all edges
+    row = np.array([1, 2, 2, 2, 4], np.int32)
+    col = np.array([0, 1, 2, 0, 1], np.int32)
+    val = np.array([1., 2., 3., 4., 5.], np.float32)
+    x = np.eye(3, dtype=np.float32)
+    plan, s = make_sell_plan(row, col, 5, 3, group=8, feat_dim=3)
+    out = np.asarray(spmm_sell(plan, s, jnp.asarray(val), jnp.asarray(x)))
+    want = _dense(row, col, val, 5, 3) @ x
+    np.testing.assert_allclose(out, want, rtol=1e-6)
+    assert np.all(out[0] == 0) and np.all(out[3] == 0)
+
+
+def test_sell_grads_match_xla():
+    rng = np.random.default_rng(7)
+    M, N, nnz, K = 30, 25, 200, 8
+    row, col, val = _rand_graph(rng, M, N, nnz)
+    x = rng.normal(size=(N, K)).astype(np.float32)
+    g = rng.normal(size=(M, K)).astype(np.float32)
+    plan, s = make_sell_plan(row, col, M, N, group=8, feat_dim=K)
+
+    def loss_sell(v, xx):
+        return (spmm_sell(plan, s, v, xx) * g).sum()
+
+    def loss_xla(v, xx):
+        return (spmm_coo(jnp.asarray(row), jnp.asarray(col), v, xx, M,
+                         "sum", backend="xla") * g).sum()
+
+    dv1, dx1 = jax.grad(loss_sell, (0, 1))(jnp.asarray(val),
+                                           jnp.asarray(x))
+    dv2, dx2 = jax.grad(loss_xla, (0, 1))(jnp.asarray(val),
+                                          jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(dv1), np.asarray(dv2),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sell_backend_via_spmm_coo():
+    rng = np.random.default_rng(3)
+    M, N, nnz, K = 40, 40, 300, 16
+    row, col, val = _rand_graph(rng, M, N, nnz)
+    x = rng.normal(size=(N, K)).astype(np.float32)
+    out = spmm_coo(jnp.asarray(row), jnp.asarray(col), jnp.asarray(val),
+                   jnp.asarray(x), M, "sum", backend="sell")
+    want = spmm_coo(jnp.asarray(row), jnp.asarray(col), jnp.asarray(val),
+                    jnp.asarray(x), M, "sum", backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sell_plan_cache_reused():
+    rng = np.random.default_rng(4)
+    row, col, val = _rand_graph(rng, 20, 20, 100)
+    rowj, colj = jnp.asarray(row), jnp.asarray(col)
+    x = jnp.asarray(rng.normal(size=(20, 8)).astype(np.float32))
+    p1 = spmm_mod._cached_sell_plan(rowj, colj, 20, 20, 8)
+    p2 = spmm_mod._cached_sell_plan(rowj, colj, 20, 20, 8)
+    assert p1[0] is p2[0] and p1[1] is p2[1]
+    _ = spmm_coo(rowj, colj, jnp.asarray(val), x, 20, "sum",
+                 backend="sell")
+
+
+def test_auto_dispatch_is_platform_keyed(monkeypatch):
+    """Under jit on a TPU platform, auto must pick the Pallas path even
+    for tracers (round-1 bug: tracer inputs always fell back to XLA)."""
+    monkeypatch.setattr(spmm_mod, "_tpu_platform", lambda: True)
+    rng = np.random.default_rng(5)
+    M, N, nnz, K = 32, 32, 200, 128
+    row, col, val = _rand_graph(rng, M, N, nnz)
+    x = rng.normal(size=(N, K)).astype(np.float32)
+
+    def f(r, c, v, xx):
+        return spmm_coo(r, c, v, xx, M, "sum", backend="auto")
+
+    jaxpr = jax.make_jaxpr(f)(jnp.asarray(row), jnp.asarray(col),
+                              jnp.asarray(val), jnp.asarray(x))
+    assert "pallas_call" in str(jaxpr), (
+        "jitted auto dispatch on TPU must lower to the Pallas kernel")
+
+    # eager concrete indices on a TPU platform pick the sell path
+    calls = {}
+    real = spmm_mod._cached_sell_plan
+
+    def spy(*a, **k):
+        calls["n"] = calls.get("n", 0) + 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(spmm_mod, "_cached_sell_plan", spy)
+    out = f(jnp.asarray(row), jnp.asarray(col), jnp.asarray(val),
+            jnp.asarray(x))
+    assert calls.get("n") == 1
+    want = _dense(row, col, val, M, N) @ x
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4,
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_sell_dtype_follows_x(dtype):
+    rng = np.random.default_rng(11)
+    row, col, val = _rand_graph(rng, 20, 20, 80, dtype=dtype)
+    x = rng.normal(size=(20, 8)).astype(dtype)
+    plan, s = make_sell_plan(row, col, 20, 20, group=8, feat_dim=8)
+    out = spmm_sell(plan, s, jnp.asarray(val), jnp.asarray(x))
+    assert out.dtype == x.dtype
+    want = _dense(row, col, val, 20, 20) @ x
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4,
+                               atol=1e-4)
