@@ -194,14 +194,15 @@ def measure(backend: str, scale: float):
 
 
 def spgemm_probe():
-    """Secondary metric: SpGEMM (A@A) throughput at ogbn-ish synthetic
-    scale; reported in detail (BASELINE.md row 3)."""
+    """Secondary metric: SpGEMM (A@A) throughput on a synthetic graph;
+    reported in detail (BASELINE.md row 3)."""
     import functools
 
     import jax
     import jax.numpy as jnp
-    from paddle_sparse_tpu.ops.spspmm import spgemm_plan_arrays
+    from paddle_sparse_tpu.core import PaddedCOO
     from paddle_sparse_tpu.core.spgemm import spspmm_padded
+    from paddle_sparse_tpu.ops.spspmm import plan_spgemm
 
     num_nodes = int(os.environ.get("BENCH_SPGEMM_NODES", 100_000))
     deg = int(os.environ.get("BENCH_SPGEMM_DEG", 16))
@@ -209,35 +210,39 @@ def spgemm_probe():
     key = jax.random.PRNGKey(1)
     row = (jnp.arange(nnz, dtype=jnp.int32) // deg).astype(jnp.int32)
     col = jax.random.randint(key, (nnz,), 0, num_nodes, dtype=jnp.int32)
-    value = jnp.ones((nnz,), jnp.float32)
-    flop_cap, out_cap = spgemm_plan_arrays(row, col, row, col,
-                                           num_nodes, num_nodes, num_nodes)
+    value = jax.random.uniform(key, (nnz,), jnp.float32)
+    A = PaddedCOO.from_arrays(row, col, value,
+                              (num_nodes, num_nodes)).coalesce()
+    t0 = time.perf_counter()
+    flop_cap, out_cap = plan_spgemm(A, A)
+    plan_s = time.perf_counter() - t0
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(row, col, value, n):
+    def loop(A, n):
         def body(i, acc):
-            v = value + acc * 0.0
-            r, c, val, cnt = spspmm_padded(
-                row, col, v, row, col, v, num_nodes, num_nodes, num_nodes,
-                flop_capacity=flop_cap, out_capacity=out_cap)
-            return val[0] + cnt.astype(jnp.float32) * 0.0
+            Ai = A.with_value(A.value + acc * 0.0)
+            res = spspmm_padded(Ai, Ai, flop_cap, out_cap)
+            return (res.matrix.value[0]
+                    + res.matrix.nnz.astype(jnp.float32) * 0.0)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     iters = 5
     t0 = time.perf_counter()
-    float(loop(row, col, value, n=iters))
+    float(loop(A, n=iters))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(loop(row, col, value, n=iters))
+    float(loop(A, n=iters))
     per_iter = (time.perf_counter() - t0) / iters
-    # output nnz/s: true C nnz counted once (eager recount kept cheap)
-    from paddle_sparse_tpu.ops.spspmm import spspmm
-    _, _, c_nnz = spspmm(row, col, value, row, col, value,
-                         num_nodes, num_nodes, num_nodes, count_only=True)
-    return {"a_nnz": int(nnz), "c_nnz": int(c_nnz),
-            "flop_cap": int(flop_cap), "s_per_iter": round(per_iter, 4),
-            "c_nnz_per_s": round(float(c_nnz) / per_iter / 1e6, 2),
-            "unit": "Mnnz/s", "compile_s": round(compile_s, 2)}
+    res = spspmm_padded(A, A, flop_cap, out_cap)
+    c_nnz = int(res.matrix.nnz)
+    assert not bool(res.overflowed)
+    return {"a_nnz": int(A.nnz), "c_nnz": c_nnz,
+            "flop_cap": int(flop_cap), "out_cap": int(out_cap),
+            "s_per_iter": round(per_iter, 4),
+            "c_nnz_per_s_M": round(c_nnz / per_iter / 1e6, 2),
+            "flops_per_s_M": round(flop_cap / per_iter / 1e6, 2),
+            "unit": "Mnnz/s", "compile_s": round(compile_s, 2),
+            "plan_s": round(plan_s, 2)}
 
 
 def smoke():

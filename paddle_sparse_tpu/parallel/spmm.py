@@ -162,3 +162,240 @@ def spmm_ring(mesh: Mesh, mat: RowShardedMatrix, x: jax.Array,
                    in_specs=(spec_blk, spec_blk, spec_blk, spec_blk),
                    out_specs=spec_blk)
     return fn(mat.row, mat.col, mat.value, x)
+
+
+# ---------------------------------------------------------------------------
+# bucketed ring: edges pre-sorted by source shard so step s touches only
+# bucket s — O(nnz/D) index traffic per device instead of O(nnz) per step
+# (VERDICT round 1, Weak #5)
+# ---------------------------------------------------------------------------
+class RingShardedMatrix(NamedTuple):
+    """Row blocks with edges bucketed by source (column) shard.
+
+    Leading axis = device; second axis = source shard; third = padded
+    bucket slots.  ``row`` local in [0, rows_per_shard] (pad =
+    rows_per_shard, accumulates into a dead slot); ``col`` local to the
+    source shard's x block in [0, N/D) (pad = 0, zero value).  Rows
+    ascending within each bucket so the local SpMM's segment sum keeps
+    ``indices_are_sorted``.
+    """
+    row: jax.Array     # (D, D, BC) local row ids
+    col: jax.Array     # (D, D, BC) source-block-local col ids
+    value: jax.Array   # (D, D, BC)
+    shape: Tuple[int, int]
+    rows_per_shard: int
+
+
+def shard_ring_buckets(tensor, n_shards: int, index_dtype=jnp.int32,
+                       ) -> RingShardedMatrix:
+    """Host-side: row-shard + bucket each shard's edges by source shard.
+
+    Bucket capacity = max bucket size over (device, source) pairs; skewed
+    column distributions inflate the padding (power-law graphs should be
+    column-permuted first, e.g. by degree or RCM order).
+    """
+    import numpy as np
+    M, N = tensor.sparse_sizes()
+    D = n_shards
+    assert M % D == 0 and N % D == 0, (
+        f"shape {tensor.sparse_sizes()} must divide into {D} shards")
+    rows_per, blk = M // D, N // D
+    row_np = np.asarray(tensor.storage.row())
+    col_np = np.asarray(tensor.storage.col())
+    value = tensor.storage.value()
+    val_np = (np.asarray(value) if value is not None
+              else np.ones(row_np.shape, np.float32))
+
+    dev = row_np // rows_per
+    src = col_np // blk
+    # order by (device, source bucket, row): buckets contiguous, rows
+    # sorted within each bucket
+    order = np.lexsort((row_np, src, dev))
+    row_s, col_s, val_s = row_np[order], col_np[order], val_np[order]
+    dev_s, src_s = dev[order], src[order]
+    counts = np.zeros((D, D), np.int64)
+    np.add.at(counts, (dev_s, src_s), 1)
+    BC = max(1, int(counts.max()))
+
+    rows = np.full((D, D, BC), rows_per, dtype=np.int64)
+    cols = np.zeros((D, D, BC), dtype=np.int64)
+    vals = np.zeros((D, D, BC), dtype=val_np.dtype)
+    starts = np.concatenate([[0], np.cumsum(counts.ravel())])
+    for d in range(D):
+        for s in range(D):
+            lo = starts[d * D + s]
+            n = counts[d, s]
+            rows[d, s, :n] = row_s[lo:lo + n] - d * rows_per
+            cols[d, s, :n] = col_s[lo:lo + n] - s * blk
+            vals[d, s, :n] = val_s[lo:lo + n]
+    return RingShardedMatrix(
+        row=jnp.asarray(rows, index_dtype),
+        col=jnp.asarray(cols, index_dtype),
+        value=jnp.asarray(vals), shape=(M, N), rows_per_shard=rows_per)
+
+
+def device_put_ring(mesh: Mesh, mat: RingShardedMatrix,
+                    axis_name: str = "x") -> RingShardedMatrix:
+    sh = NamedSharding(mesh, P(axis_name, None, None))
+    return mat._replace(row=jax.device_put(mat.row, sh),
+                        col=jax.device_put(mat.col, sh),
+                        value=jax.device_put(mat.value, sh))
+
+
+def spmm_ring_bucketed(mesh: Mesh, mat: RingShardedMatrix, x: jax.Array,
+                       axis_name: str = "x") -> jax.Array:
+    """Ring-pipelined SpMM over pre-bucketed edges: step s reads ONLY the
+    bucket of the currently-held x block (one dynamic slice of static
+    bucket capacity) instead of masking all local nnz per step."""
+    rows_per = mat.rows_per_shard
+    D = mesh.devices.size
+
+    def kernel(row, col, value, x_local):
+        row_b, col_b, val_b = row[0], col[0], value[0]   # (D, BC)
+        my = jax.lax.axis_index(axis_name)
+
+        def step(carry, s):
+            x_blk, acc = carry
+            src = (my - s) % D
+            r = jax.lax.dynamic_index_in_dim(row_b, src, keepdims=False)
+            c = jax.lax.dynamic_index_in_dim(col_b, src, keepdims=False)
+            v = jax.lax.dynamic_index_in_dim(val_b, src, keepdims=False)
+            acc = acc + _local_spmm(r, c, v, x_blk, rows_per)
+            x_blk = jax.lax.ppermute(
+                x_blk, axis_name, [(i, (i + 1) % D) for i in range(D)])
+            return (x_blk, acc), None
+
+        acc0 = jnp.zeros((rows_per, x_local.shape[-1]),
+                         jnp.promote_types(val_b.dtype, x_local.dtype))
+        acc0 = jax.lax.pcast(acc0, (axis_name,), to="varying")
+        (_, acc), _ = jax.lax.scan(step, (x_local, acc0), jnp.arange(D))
+        return acc
+
+    spec3 = P(axis_name, None, None)
+    spec2 = P(axis_name, None)
+    fn = shard_map(kernel, mesh=mesh,
+                   in_specs=(spec3, spec3, spec3, spec2),
+                   out_specs=spec2)
+    return fn(mat.row, mat.col, mat.value, x)
+
+
+# ---------------------------------------------------------------------------
+# halo all_to_all: exchange only the x rows each device actually needs —
+# the large-N strategy from SURVEY.md §2.4 (all-gather replicates N*K)
+# ---------------------------------------------------------------------------
+class HaloShardedMatrix(NamedTuple):
+    """Row blocks + a static halo-exchange plan.
+
+    ``send_idx[d, j]``: which local x rows device d sends to device j
+    (block-local ids, padded by repetition).  ``col`` is remapped into the
+    received halo buffer: edge e on device d reads halo row
+    ``col[d, e]`` of the (D*H, K) buffer assembled by ``all_to_all``
+    (slot ``s*H + i`` = i-th row requested from source s).
+    """
+    row: jax.Array       # (D, C) local row ids
+    col: jax.Array       # (D, C) halo-buffer positions; pad = 0 (value 0)
+    value: jax.Array     # (D, C)
+    send_idx: jax.Array  # (D, D, H) block-local x-row ids to send
+    shape: Tuple[int, int]
+    rows_per_shard: int
+    halo_per_src: int    # H
+
+
+def shard_halo(tensor, n_shards: int, index_dtype=jnp.int32,
+               ) -> HaloShardedMatrix:
+    """Host-side: row-shard + build the static halo plan.
+
+    H = max over (device, source) of the number of DISTINCT x rows needed;
+    each device pulls exactly the union of rows its edges reference,
+    deduplicated — total exchange is O(unique cols) instead of O(N*D)."""
+    import numpy as np
+    M, N = tensor.sparse_sizes()
+    D = n_shards
+    assert M % D == 0 and N % D == 0, (
+        f"shape {tensor.sparse_sizes()} must divide into {D} shards")
+    rows_per, blk = M // D, N // D
+    row_np = np.asarray(tensor.storage.row())
+    col_np = np.asarray(tensor.storage.col())
+    value = tensor.storage.value()
+    val_np = (np.asarray(value) if value is not None
+              else np.ones(row_np.shape, np.float32))
+
+    bounds = np.searchsorted(row_np, np.arange(D + 1) * rows_per)
+    # per-device unique needed cols, grouped by source shard
+    needs = []      # [d][s] -> sorted unique block-local ids
+    H = 1
+    C = 1
+    for d in range(D):
+        lo, hi = bounds[d], bounds[d + 1]
+        C = max(C, hi - lo)
+        uniq = np.unique(col_np[lo:hi])
+        per_src = [uniq[(uniq // blk) == s] - s * blk for s in range(D)]
+        needs.append(per_src)
+        H = max(H, max((len(u) for u in per_src), default=1))
+
+    # send_idx[d, j] = rows (block-local of d) that device j needs from d
+    send_idx = np.zeros((D, D, H), dtype=np.int64)
+    for d in range(D):
+        for j in range(D):
+            u = needs[j][d]
+            send_idx[d, j, :len(u)] = u
+    rows = np.full((D, C), rows_per, dtype=np.int64)
+    cols = np.zeros((D, C), dtype=np.int64)
+    vals = np.zeros((D, C), dtype=val_np.dtype)
+    for d in range(D):
+        lo, hi = bounds[d], bounds[d + 1]
+        n = hi - lo
+        rows[d, :n] = row_np[lo:hi] - d * rows_per
+        src = col_np[lo:hi] // blk
+        local = col_np[lo:hi] - src * blk
+        # position of each edge's column inside its source's request list
+        pos = np.empty(n, np.int64)
+        for s in range(D):
+            m = src == s
+            pos[m] = np.searchsorted(needs[d][s], local[m]) + s * H
+        cols[d, :n] = pos
+        vals[d, :n] = val_np[lo:hi]
+    return HaloShardedMatrix(
+        row=jnp.asarray(rows, index_dtype),
+        col=jnp.asarray(cols, index_dtype),
+        value=jnp.asarray(vals),
+        send_idx=jnp.asarray(send_idx, index_dtype),
+        shape=(M, N), rows_per_shard=rows_per, halo_per_src=H)
+
+
+def device_put_halo(mesh: Mesh, mat: HaloShardedMatrix,
+                    axis_name: str = "x") -> HaloShardedMatrix:
+    sh2 = NamedSharding(mesh, P(axis_name, None))
+    sh3 = NamedSharding(mesh, P(axis_name, None, None))
+    return mat._replace(row=jax.device_put(mat.row, sh2),
+                        col=jax.device_put(mat.col, sh2),
+                        value=jax.device_put(mat.value, sh2),
+                        send_idx=jax.device_put(mat.send_idx, sh3))
+
+
+def spmm_halo(mesh: Mesh, mat: HaloShardedMatrix, x: jax.Array,
+              axis_name: str = "x", reduce: str = "sum") -> jax.Array:
+    """SpMM with an ``all_to_all`` halo exchange of exactly the x rows
+    each device needs (deduplicated) — O(unique cols * K) interchange vs
+    ``all_gather``'s O(N * K).  The right strategy when N is large and the
+    per-device column footprint is sparse (SURVEY.md §2.4)."""
+    rows_per = mat.rows_per_shard
+    H = mat.halo_per_src
+
+    def kernel(row, col, value, send_idx, x_local):
+        # rows requested from me, one slab per destination: (D, H, K)
+        x_send = jnp.take(x_local, send_idx[0], axis=0, mode="clip")
+        # slab j goes to device j; received slab s = rows from source s
+        halo = jax.lax.all_to_all(x_send, axis_name, split_axis=0,
+                                  concat_axis=0, tiled=False)
+        halo = halo.reshape(-1, x_local.shape[-1])       # (D*H, K)
+        out = spmm_coo(row[0], col[0], value[0], halo, rows_per + 1,
+                       reduce)
+        return out[:rows_per]
+
+    spec2 = P(axis_name, None)
+    spec3 = P(axis_name, None, None)
+    fn = shard_map(kernel, mesh=mesh,
+                   in_specs=(spec2, spec2, spec2, spec3, spec2),
+                   out_specs=spec2)
+    return fn(mat.row, mat.col, mat.value, mat.send_idx, x)

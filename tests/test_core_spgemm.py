@@ -60,3 +60,38 @@ def test_padded_spgemm_grad():
     g_dense = jax.grad(dense_loss)(pA.value)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_dense),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_plan_spgemm_capacities():
+    """plan_spgemm returns sufficient static capacities (VERDICT r1 #8)."""
+    import numpy as np
+    from paddle_sparse_tpu.core import PaddedCOO
+    from paddle_sparse_tpu.core.spgemm import spspmm_padded
+    from paddle_sparse_tpu.ops.spspmm import plan_spgemm
+
+    rng = np.random.default_rng(5)
+    M, nnz = 60, 400
+    A = PaddedCOO.from_arrays(
+        jnp.asarray(np.sort(rng.integers(0, M, nnz)).astype(np.int32)),
+        jnp.asarray(rng.integers(0, M, nnz).astype(np.int32)),
+        jnp.asarray(rng.normal(size=nnz).astype(np.float32)),
+        (M, M)).coalesce()
+    fc, oc = plan_spgemm(A, A)
+    res = spspmm_padded(A, A, fc, oc)
+    assert not bool(res.overflowed)
+    # exact output bound is tighter than the flop bound
+    assert oc <= fc
+    # inexact planning skips the counting multiply and uses the flop bound
+    fc2, oc2 = plan_spgemm(A, A, exact_out=False)
+    assert (fc2, oc2) == (fc, fc)
+    # result matches dense
+    Ad = np.zeros((M, M), np.float32)
+    n = int(A.nnz)
+    np.add.at(Ad, (np.asarray(A.row)[:n], np.asarray(A.col)[:n]),
+              np.asarray(A.value)[:n])
+    C = res.matrix
+    rn = int(C.nnz)
+    Cd = np.zeros((M, M), np.float32)
+    np.add.at(Cd, (np.asarray(C.row)[:rn], np.asarray(C.col)[:rn]),
+              np.asarray(C.value)[:rn])
+    np.testing.assert_allclose(Cd, Ad @ Ad, rtol=1e-4, atol=1e-5)

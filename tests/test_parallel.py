@@ -123,11 +123,106 @@ def test_spgemm_rowsharded():
     B_pad = B.to_padded()
     B_pad = jax.device_put(B_pad, NamedSharding(mesh, P()))
 
+    from paddle_sparse_tpu.ops.spspmm import plan_spgemm
+    flop_cap, out_cap = plan_spgemm(A.to_padded(), B_pad)
     C_blocks, overflowed = spgemm_rowsharded(mesh, A_blocks, B_pad,
-                                             flop_capacity=4096,
-                                             out_capacity=2048)
+                                             flop_capacity=flop_cap,
+                                             out_capacity=out_cap)
     assert not bool(np.asarray(overflowed).any())
     rowC, colC, valC = gather_blocks(C_blocks, rows_per, M, N)
     got = np.zeros((M, N), np.float32)
     np.add.at(got, (np.asarray(rowC), np.asarray(colC)), np.asarray(valC))
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_ring_bucketed(setup):
+    """Pre-bucketed ring == dense (VERDICT r1 #5: O(nnz/D) per step)."""
+    from paddle_sparse_tpu.parallel import (device_put_ring,
+                                            shard_ring_buckets,
+                                            spmm_ring_bucketed)
+    mesh, mat, x_arr, expected = setup
+    adj = _tensor_of(mat)
+    rmat = device_put_ring(mesh, shard_ring_buckets(adj, D))
+    out = spmm_ring_bucketed(mesh, rmat, x_arr)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_spmm_halo(setup):
+    """all_to_all halo exchange == dense (SURVEY §2.4 large-N strategy)."""
+    from paddle_sparse_tpu.parallel import (device_put_halo, shard_halo,
+                                            spmm_halo)
+    mesh, mat, x_arr, expected = setup
+    adj = _tensor_of(mat)
+    hmat = device_put_halo(mesh, shard_halo(adj, D))
+    # halo exchanges strictly fewer rows than all-gather replicates
+    assert hmat.halo_per_src <= mat.shape[1] // D
+    out = spmm_halo(mesh, hmat, x_arr)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_spmm_halo_grad(setup):
+    from paddle_sparse_tpu.parallel import (device_put_halo, shard_halo,
+                                            spmm_halo)
+    mesh, mat, x_arr, expected = setup
+    adj = _tensor_of(mat)
+    hmat = device_put_halo(mesh, shard_halo(adj, D))
+
+    def loss(x):
+        return (spmm_halo(mesh, hmat, x) ** 2).sum()
+
+    g = jax.grad(loss)(x_arr)
+    dense_g = np.asarray(
+        jax.grad(lambda x: ((jnp.asarray(_dense_of(mat)) @ x) ** 2).sum())(
+            jnp.asarray(np.asarray(x_arr))))
+    np.testing.assert_allclose(np.asarray(g), dense_g, rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_spmm_2d(setup):
+    """2-D grid + psum_scatter == dense (SURVEY §2.4 'sparse TP' row)."""
+    from paddle_sparse_tpu.parallel import device_put_2d, shard_2d, spmm_2d
+    from paddle_sparse_tpu.parallel.spmm2d import make_mesh_2d
+    mesh, mat, x_arr, expected = setup
+    adj = _tensor_of(mat)
+    dr, dc = 2, 4
+    mesh2 = make_mesh_2d(dr, dc)
+    m2 = device_put_2d(mesh2, shard_2d(adj, dr, dc))
+    N, K = mat.shape[1], np.asarray(x_arr).shape[-1]
+    xb = jnp.asarray(np.asarray(x_arr)).reshape(N, K)
+    from jax.sharding import NamedSharding, PartitionSpec as P2
+    xb = jax.device_put(xb, NamedSharding(mesh2, P2("dc", None)))
+    out = spmm_2d(mesh2, m2, xb)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_scaling_estimates():
+    """Analytic scaling model: sane efficiencies + the SURVEY §2.4
+    crossover (halo beats all-gather when N is huge and edges are few)."""
+    from paddle_sparse_tpu.parallel import estimate_scaling
+    from paddle_sparse_tpu.parallel.scaling import scaling_report
+
+    # ogbn-products, dim 256, 8 chips, measured sell-path bandwidth
+    rep = scaling_report(8, 124_000_000, 2_449_029, 2_449_029, 256,
+                         achieved_gbps=280.0)
+    for s, r in rep.items():
+        assert 0 < r["efficiency"] <= 1.0, (s, r)
+    # at this shape every strategy should scale well (compute-dominated)
+    assert rep["ring"]["efficiency"] >= 0.8
+    assert rep["halo"]["efficiency"] >= 0.8
+
+    # papers100M-like: N huge, all-gather must fall off a cliff vs halo
+    big = {"nnz": 1_600_000_000, "m": 111_000_000, "n": 111_000_000,
+           "k": 128}
+    ag = estimate_scaling("all_gather", 16, **big)
+    halo = estimate_scaling("halo", 16, **big,
+                            unique_cols=big["nnz"] // 16)
+    assert halo.efficiency > ag.efficiency
+
+
+def _tensor_of(mat):
+    """RowShardedMatrix -> eager SparseTensor (test helper)."""
+    dense = _dense_of(mat)
+    return SparseTensor.from_dense(jnp.asarray(dense))

@@ -156,3 +156,55 @@ def test_sell_dtype_follows_x(dtype):
     want = _dense(row, col, val, 20, 20) @ x
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4,
                                atol=1e-4)
+
+
+def test_sell_grid_values_roundtrip_and_forward():
+    """The format-native (G, ng) value grid: pad/unpad round trip and
+    forward parity with the 1-D path."""
+    from paddle_sparse_tpu.ops.spmm_sell import pad_values, unpad_values
+    rng = np.random.default_rng(13)
+    M, N, nnz, K, G = 40, 35, 260, 16, 8
+    row, col, val = _rand_graph(rng, M, N, nnz)
+    x = rng.normal(size=(N, K)).astype(np.float32)
+    plan, s = make_sell_plan(row, col, M, N, group=G, feat_dim=K)
+    grid = pad_values(s, jnp.asarray(val), group=G)
+    assert grid.shape[0] == G
+    back = np.asarray(unpad_values(s, grid, group=G))
+    np.testing.assert_array_equal(back, val)
+    out_grid = np.asarray(spmm_sell(plan, s, grid, jnp.asarray(x)))
+    out_1d = np.asarray(spmm_sell(plan, s, jnp.asarray(val),
+                                  jnp.asarray(x)))
+    np.testing.assert_allclose(out_grid, out_1d, rtol=1e-6)
+
+
+def test_sell_grid_grads_match_xla():
+    """Grid-layout gradients (d_value in grid layout, d_x via the static
+    transpose slot map) match the XLA formulation."""
+    from paddle_sparse_tpu.ops.spmm_sell import pad_values, unpad_values
+    rng = np.random.default_rng(17)
+    M, N, nnz, K, G = 30, 25, 200, 8, 8
+    row, col, val = _rand_graph(rng, M, N, nnz)
+    x = rng.normal(size=(N, K)).astype(np.float32)
+    g = rng.normal(size=(M, K)).astype(np.float32)
+    plan, s = make_sell_plan(row, col, M, N, group=G, feat_dim=K)
+    grid = pad_values(s, jnp.asarray(val), group=G)
+
+    def loss_grid(vg, xx):
+        return (spmm_sell(plan, s, vg, xx) * g).sum()
+
+    def loss_xla(v, xx):
+        return (spmm_coo(jnp.asarray(row), jnp.asarray(col), v, xx, M,
+                         "sum", backend="xla") * g).sum()
+
+    dvg, dx1 = jax.grad(loss_grid, (0, 1))(grid, jnp.asarray(x))
+    dv2, dx2 = jax.grad(loss_xla, (0, 1))(jnp.asarray(val),
+                                          jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2),
+                               rtol=1e-4, atol=1e-5)
+    # grid grad maps back to the COO-ordered grad
+    dv1 = np.asarray(unpad_values(s, dvg, group=G))
+    np.testing.assert_allclose(dv1, np.asarray(dv2), rtol=1e-4,
+                               atol=1e-5)
+    # pad slots carry zero gradient
+    eid = np.asarray(s.eid).reshape(-1, G).T
+    assert np.all(np.asarray(dvg)[eid < 0] == 0)
