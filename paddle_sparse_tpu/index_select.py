@@ -1,12 +1,16 @@
-"""Row/column gathers (reference parity: ``paddle_sparse/index_select.py``).
+"""Row/column/value gathers.
 
-dim-0 gathers rebuild CSR directly from the gathered rowcounts plus a
-``gather_csr`` offset trick (no per-row loop); dim-1 goes through the CSC view
-and re-sorts into canonical row order with an overflow-safe lexsort.
+API contract from the reference (``/root/reference/paddle_sparse/
+index_select.py``); implementation is this library's own: both sparse
+axes are the same operation — gather variable-length segments of a
+pointer view — expressed once as ``ops.segment.gather_segments`` and
+orchestrated here.  dim 0 gathers CSR row segments (result is born
+row-sorted); dim 1 gathers CSC column segments and re-canonicalizes with
+one overflow-safe lexsort.
 """
 import jax.numpy as jnp
 
-from .ops.segment import gather_csr
+from .ops.segment import gather_segments
 from .storage import SparseStorage, get_layout
 from .tensor import SparseTensor
 from .utils import as_index_array, lexsort_rowcol
@@ -19,54 +23,26 @@ def index_select(src: SparseTensor, dim: int, idx) -> SparseTensor:
     n_idx = int(idx.shape[0])
 
     if dim == 0:
-        old_rowptr, col, value = src.csr()
-        rowcount = src.storage.rowcount()[idx]
-
-        rowptr = jnp.concatenate([
-            jnp.zeros((1,), dtype=col.dtype),
-            jnp.cumsum(rowcount).astype(col.dtype),
-        ])
-        nnz_out = int(rowptr[-1])
-        row = jnp.repeat(jnp.arange(n_idx, dtype=col.dtype), rowcount,
-                         total_repeat_length=nnz_out)
-        # position inside each output segment + start of the source segment
-        perm = jnp.arange(nnz_out, dtype=col.dtype)
-        perm = perm + gather_csr(old_rowptr[idx] - rowptr[:-1], rowptr, nnz_out)
-
-        col = col[perm]
-        if value is not None:
-            value = value[perm]
-
+        rowptr, col, value = src.csr()
+        new_rowptr, rowcount, row, perm = gather_segments(rowptr, idx)
         storage = SparseStorage(
-            row=row, rowptr=rowptr, col=col, value=value,
+            row=row.astype(col.dtype), rowptr=new_rowptr, col=col[perm],
+            value=None if value is None else value[perm],
             sparse_sizes=(n_idx, src.sparse_size(1)), rowcount=rowcount,
             is_sorted=True, trust_data=True)
         return src.from_storage(storage)
 
     if dim == 1:
-        old_colptr, row, value = src.csc()
-        colcount = src.storage.colcount()[idx]
-
-        colptr = jnp.concatenate([
-            jnp.zeros((1,), dtype=row.dtype),
-            jnp.cumsum(colcount).astype(row.dtype),
-        ])
-        nnz_out = int(colptr[-1])
-        col = jnp.repeat(jnp.arange(n_idx, dtype=row.dtype), colcount,
-                         total_repeat_length=nnz_out)
-        perm = jnp.arange(nnz_out, dtype=row.dtype)
-        perm = perm + gather_csr(old_colptr[idx] - colptr[:-1], colptr, nnz_out)
-
+        colptr, row, value = src.csc()
+        new_colptr, colcount, col, perm = gather_segments(colptr, idx)
         row = row[perm]
+        col = col.astype(row.dtype)
         csc2csr = lexsort_rowcol(row, col).astype(row.dtype)
-        row, col = row[csc2csr], col[csc2csr]
-        if value is not None:
-            value = value[perm][csc2csr]
-
         storage = SparseStorage(
-            row=row, col=col, value=value,
+            row=row[csc2csr], col=col[csc2csr],
+            value=None if value is None else value[perm][csc2csr],
             sparse_sizes=(src.sparse_size(0), n_idx),
-            colptr=colptr, colcount=colcount, csc2csr=csc2csr,
+            colptr=new_colptr, colcount=colcount, csc2csr=csc2csr,
             is_sorted=True, trust_data=True)
         return src.from_storage(storage)
 

@@ -1,9 +1,16 @@
-"""Boolean-mask selection (reference parity: ``paddle_sparse/masked_select.py``)."""
+"""Boolean-mask selection.
+
+API contract from the reference (``/root/reference/paddle_sparse/
+masked_select.py``); the formulation is this library's own: a per-edge
+predicate plus a prefix-sum relabel of the masked axis.  Because dropping
+edges preserves the canonical (row, col) order, BOTH axes filter directly
+in CSR order — the reference's dim-1 path detoured through the CSC view
+and re-sorted; here no permutation or sort is needed at all.
+"""
 import jax.numpy as jnp
 
 from .storage import SparseStorage, get_layout
 from .tensor import SparseTensor
-from .utils import lexsort_rowcol
 
 
 def masked_select(src: SparseTensor, dim: int, mask) -> SparseTensor:
@@ -11,45 +18,28 @@ def masked_select(src: SparseTensor, dim: int, mask) -> SparseTensor:
     mask = jnp.asarray(mask)
     assert mask.ndim == 1
 
-    if dim == 0:
+    if dim in (0, 1):
         row, col, value = src.coo()
-        rowcount = src.storage.rowcount()[mask]
-        n_rows = int(rowcount.shape[0])
-
-        edge_mask = mask[row]
-        row = jnp.repeat(jnp.arange(n_rows, dtype=col.dtype), rowcount,
-                         total_repeat_length=int(rowcount.sum()))
-        col = col[edge_mask]
+        axis = row if dim == 0 else col
+        keep = mask[axis]                       # per-edge predicate
+        relabel = (jnp.cumsum(mask) - 1).astype(axis.dtype)
+        new_axis = relabel[axis[keep]]
+        other = (col if dim == 0 else row)[keep]
+        n_keep = int(mask.sum())
         if value is not None:
-            value = value[edge_mask]
-
-        storage = SparseStorage(
-            row=row, col=col, value=value,
-            sparse_sizes=(n_rows, src.sparse_size(1)), rowcount=rowcount,
-            is_sorted=True, trust_data=True)
-        return src.from_storage(storage)
-
-    if dim == 1:
-        row, col, value = src.coo()
-        csr2csc = src.storage.csr2csc()
-        row, col = row[csr2csc], col[csr2csc]
-        colcount = src.storage.colcount()[mask]
-        n_cols = int(colcount.shape[0])
-
-        edge_mask = mask[col]
-        col = jnp.repeat(jnp.arange(n_cols, dtype=row.dtype), colcount,
-                         total_repeat_length=int(colcount.sum()))
-        row = row[edge_mask]
-        csc2csr = lexsort_rowcol(row, col).astype(row.dtype)
-        row, col = row[csc2csr], col[csc2csr]
-        if value is not None:
-            value = value[csr2csc][edge_mask][csc2csr]
-
-        storage = SparseStorage(
-            row=row, col=col, value=value,
-            sparse_sizes=(src.sparse_size(0), n_cols),
-            colcount=colcount, csc2csr=csc2csr,
-            is_sorted=True, trust_data=True)
+            value = value[keep]
+        if dim == 0:
+            storage = SparseStorage(
+                row=new_axis, col=other, value=value,
+                sparse_sizes=(n_keep, src.sparse_size(1)),
+                rowcount=src.storage.rowcount()[mask],
+                is_sorted=True, trust_data=True)
+        else:
+            storage = SparseStorage(
+                row=other, col=new_axis, value=value,
+                sparse_sizes=(src.sparse_size(0), n_keep),
+                colcount=src.storage.colcount()[mask],
+                is_sorted=True, trust_data=True)
         return src.from_storage(storage)
 
     value = src.storage.value()

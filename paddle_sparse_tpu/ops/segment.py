@@ -73,6 +73,32 @@ def gather_csr(src: jax.Array, ptr: jax.Array, out_len: Optional[int] = None) ->
     return src[ptr2ind(ptr, out_len)]
 
 
+def gather_segments(ptr: jax.Array, idx: jax.Array):
+    """Gather variable-length CSR segments ``[ptr[i], ptr[i+1])`` for every
+    ``i`` in ``idx``, concatenated in ``idx`` order.
+
+    The library's own primitive behind ``index_select`` on either sparse
+    axis (gather rows of a CSR view / cols of a CSC view): returns
+    ``(new_ptr, counts, seg_ids, perm)`` where ``perm`` indexes the source
+    element arrays, ``seg_ids[k]`` is the output segment of element ``k``
+    and ``new_ptr``/``counts`` describe the output segmentation.  Eager
+    (the output length is data-dependent).
+    """
+    ptr = jnp.asarray(ptr)
+    idx = jnp.asarray(idx)
+    counts = ptr[idx + 1] - ptr[idx]
+    new_ptr = jnp.concatenate([
+        jnp.zeros((1,), ptr.dtype), jnp.cumsum(counts).astype(ptr.dtype)])
+    total = int(new_ptr[-1])
+    seg_ids = jnp.repeat(jnp.arange(idx.shape[0], dtype=ptr.dtype),
+                         counts, total_repeat_length=total)
+    # element k sits at offset (k - new_ptr[seg]) inside its segment;
+    # add the source segment's start to get the source position
+    perm = (jnp.arange(total, dtype=ptr.dtype)
+            + (ptr[idx] - new_ptr[:-1])[seg_ids])
+    return new_ptr, counts, seg_ids, perm
+
+
 def scatter_reduce(values: jax.Array, index: jax.Array, num_segments: int,
                    reduce: str = "sum", indices_are_sorted: bool = False) -> jax.Array:
     """COO-style scatter-reduce (unsorted segment ids allowed)."""
