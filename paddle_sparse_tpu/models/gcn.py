@@ -174,6 +174,11 @@ def GAT(params, adj: PaddedCOO, x: jax.Array,
     """
     h = x
     n = len(params["layers"])
+    # after the first layer hw has adj.M rows but is gathered by col (range
+    # adj.N): on a rectangular adjacency the clipped gather would silently
+    # read wrong rows — fail loudly instead (ADVICE r1)
+    assert adj.M == adj.N, (
+        f"GAT requires a square adjacency, got {(adj.M, adj.N)}")
     row = jnp.clip(adj.row, 0, adj.M - 1)
     col = jnp.clip(adj.col, 0, adj.N - 1)
     for i, layer in enumerate(params["layers"]):

@@ -149,12 +149,21 @@ def _reduce_call(bounds_start, bounds_end, products2d, items, num_tiles,
                                        jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * ITEMS * R * E * K * (2 if split else 6),
-            bytes_accessed=nchunks_e * E * 4 * K
+            bytes_accessed=nchunks_e * E * products2d.dtype.itemsize * K
             + (num_tiles + 1) * R * (K + 2) * 4,
             transcendentals=0),
         interpret=interpret,
     )(item_tile, item_chunk, item_first, bounds_start, bounds_end,
       products2d)
+
+
+def _product_dtype(value, x):
+    """Product-stream dtype: bf16 only when BOTH operands are bf16 (an f32
+    value paired with bf16 x must not silently drop to bf16 — ADVICE r1);
+    everything else runs the f32 hi/lo-split path."""
+    common = x.dtype if value is None else jnp.promote_types(value.dtype,
+                                                             x.dtype)
+    return jnp.bfloat16 if common == jnp.bfloat16 else jnp.float32
 
 
 def _row_bounds(rowptr_rows, num_tiles, R, cap):
@@ -288,7 +297,7 @@ def spmm_csr_chunked(rowptr: jax.Array, row: jax.Array, col: jax.Array,
                           nnz, jnp.int32)])
     col_pad = jnp.concatenate(
         [col.astype(jnp.int32), jnp.zeros((EC,), jnp.int32)])
-    pdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    pdt = _product_dtype(value, x)
     x32 = x.astype(pdt)
     val_pad = None
     if value is not None:
@@ -361,10 +370,16 @@ def spmm_pallas(rowptr: jax.Array, col: jax.Array,
     SpMM + an SDDMM for the value grad).
     """
     num_rows = int(rowptr.shape[0]) - 1
-    pdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    pdt = _product_dtype(value, x)
     products = jnp.take(x, col, axis=0, mode="clip").astype(pdt)
     if value is not None:
         products = products * value[:, None].astype(pdt)
-    return segment_rows_matmul(products, row, rowptr, num_rows,
-                               tile_rows=tile_rows, chunk_edges=chunk_edges,
-                               interpret=interpret)
+    out = segment_rows_matmul(products, row, rowptr, num_rows,
+                              tile_rows=tile_rows,
+                              chunk_edges=chunk_edges,
+                              interpret=interpret)
+    # uniform dtype contract with ops.spmm (ADVICE r1): outputs follow the
+    # promoted input dtype, accumulation stays f32 inside the kernel
+    common = x.dtype if value is None else jnp.promote_types(value.dtype,
+                                                             x.dtype)
+    return out.astype(common)

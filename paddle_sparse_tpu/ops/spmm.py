@@ -178,9 +178,10 @@ def spmm_chunked(plan: SpmmPlan, s: SpmmStructure,
     SpMM over the CSC structure instead of an unsorted scatter; d_value is
     a chunked SDDMM."""
     from .kernels.spmm_pallas import spmm_csr_chunked
-    return spmm_csr_chunked(s.rowptr, s.row, s.col, value, x,
-                            plan.num_rows, plan.rows_per_chunk,
-                            plan.edge_capacity, interpret=plan.interpret)
+    out = spmm_csr_chunked(s.rowptr, s.row, s.col, value, x,
+                           plan.num_rows, plan.rows_per_chunk,
+                           plan.edge_capacity, interpret=plan.interpret)
+    return out.astype(x.dtype)  # uniform dtype contract (ADVICE r1)
 
 
 def _spmm_chunked_fwd(plan, s, value, x):

@@ -49,7 +49,10 @@ def test_spmm_pallas_bf16_interpret():
     out = spmm_pallas(jnp.asarray(rowptr, jnp.int32),
                       jnp.asarray(col, jnp.int32), val16, x16,
                       interpret=True)
-    assert out.dtype == jnp.float32  # kernel accumulator dtype
+    # uniform contract (ADVICE r1): output follows the promoted input
+    # dtype; accumulation inside the kernel is still f32
+    assert out.dtype == jnp.bfloat16
+    out = out.astype(jnp.float32)
     expected = np.zeros((M, K), np.float64)
     np.add.at(expected, row,
               np.asarray(val16, np.float64)[:, None]
