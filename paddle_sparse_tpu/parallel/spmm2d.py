@@ -42,9 +42,16 @@ class Sharded2DMatrix(NamedTuple):
     grid: Tuple[int, int]
 
 
-def make_mesh_2d(dr: int, dc: int, axis_names=("dr", "dc")) -> Mesh:
+def make_mesh_2d(dr: int, dc: int, axis_names=("dr", "dc"),
+                 devices=None) -> Mesh:
+    """(dr x dc) mesh; ``devices`` defaults to the default backend's, with
+    a CPU-pool fallback when it is too small (virtual-mesh testing)."""
     import numpy as np
-    devs = np.array(jax.devices()[:dr * dc]).reshape(dr, dc)
+    if devices is None:
+        devices = jax.devices()
+        if len(devices) < dr * dc:
+            devices = jax.devices("cpu")
+    devs = np.array(list(devices)[:dr * dc]).reshape(dr, dc)
     return Mesh(devs, axis_names)
 
 
