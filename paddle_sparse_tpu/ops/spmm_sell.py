@@ -91,6 +91,8 @@ class SellPlan(NamedTuple):
     rows_per_block_t: int
     interpret: bool = False
     l2_backend: str = "pallas"   # "pallas" | "xla" (CPU/tests)
+    l2_identity: bool = False    # every row has exactly one group
+    l2_identity_t: bool = False
 
 
 @functools.partial(jax.jit, static_argnames=("num_rows", "group"))
@@ -103,7 +105,8 @@ def _sell_geometry(row, *, num_rows: int, group: int):
     groups = -(-deg // group)                       # ceil
     gptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                             jnp.cumsum(groups).astype(jnp.int32)])
-    return rowptr, gptr
+    gmax = groups.max() if num_rows > 0 else jnp.int32(0)
+    return rowptr, gptr, gmax
 
 
 @functools.partial(jax.jit,
@@ -139,6 +142,30 @@ def _csc_view(row, col):
     return perm_t, jnp.take(col, perm_t), jnp.take(row, perm_t)
 
 
+@functools.partial(jax.jit, static_argnames=("num_rows", "candidates"))
+def _padded_slot_counts(row, *, num_rows: int, candidates: tuple):
+    """Total padded slots for each candidate group width (one jit call)."""
+    rowptr = ind2ptr(row, num_rows).astype(jnp.int32)
+    deg = rowptr[1:] - rowptr[:-1]
+    return jnp.stack([(-(-deg // g) * g).sum() for g in candidates])
+
+
+def _pick_group(row, num_rows: int, nnz: int) -> int:
+    """SELL-sigma-style adaptive slice width: choose the group G (>= 32,
+    the measured XLA gather-sum fusion threshold) minimizing padded slots.
+
+    Near-regular graphs (the ogbn bench family) land on G ~ mean degree:
+    zero padding AND one group per row, which collapses level 2 to the
+    identity.  Skewed graphs fall back toward 32.
+    """
+    mean_deg = max(1, nnz // max(num_rows, 1))
+    cands = sorted({32, 48, 64, min(256, max(32, mean_deg)),
+                    min(256, max(32, -(-mean_deg // 8) * 8))})
+    totals = _padded_slot_counts(row, num_rows=num_rows,
+                                 candidates=tuple(cands))
+    return int(cands[int(jnp.argmin(totals))])
+
+
 @functools.partial(jax.jit, static_argnames=("nnz", "group", "ng"))
 def _fwd_slot_map(eid, perm_t, eid_t, *, nnz: int, group: int, ng: int):
     """(G, ng_t) flat fwd-grid slot of each A^T slot (static plan data).
@@ -165,12 +192,16 @@ def _fwd_slot_map(eid, perm_t, eid_t, *, nnz: int, group: int, ng: int):
 def _sell_pad(row, col, num_rows: int, num_cols: int, group: int):
     """Padded-slot construction for one orientation (two jit calls + one
     scalar host pull for the static group count)."""
-    rowptr, gptr = _sell_geometry(row, num_rows=num_rows, group=group)
+    rowptr, gptr, gmax = _sell_geometry(row, num_rows=num_rows,
+                                        group=group)
     ngroups = max(int(gptr[-1]), 1)
+    # identity level-2: every row contributes exactly one group, so group
+    # partials ARE the output rows and level 2 can be skipped entirely
+    identity = (ngroups == num_rows) and int(gmax) == 1
     eid, col_T, grow = _sell_slots(rowptr, gptr, col, ngroups=ngroups,
                                    group=group, num_rows=num_rows,
                                    num_cols=num_cols)
-    return eid, col_T, grow, gptr
+    return eid, col_T, grow, gptr, identity
 
 
 def _plan_blocks(gptr_host, feat_dim: int, target_bytes: int):
@@ -200,24 +231,29 @@ def _plan_blocks(gptr_host, feat_dim: int, target_bytes: int):
 
 
 def make_sell_plan(row, col, num_rows: int, num_cols: int, *,
-                   group: int = 32, feat_dim: int = 256,
+                   group="auto", feat_dim: int = 256,
                    target_bytes: int = 256 * 1024 * 1024,
                    l2_backend: Optional[str] = None):
     """Host-side setup: build the padded-group structure (both
     orientations) and the row-block geometry.  Eager — needs concrete
     indices.  Returns ``(plan, structure)`` for :func:`spmm_sell`.
 
-    ``group``: pad quantum; on TPU keep >= 32 (XLA fuses the gather sum
-    from 32 operands up — measured in experiments/fusion_probe.py).
+    ``group``: pad quantum; "auto" (default) picks the width minimizing
+    padded slots (>= 32 — XLA fuses the gather sum from 32 operands up,
+    measured in experiments/fusion_probe.py).
     """
     row = jnp.asarray(row, dtype=jnp.int32)
     col = jnp.asarray(col, dtype=jnp.int32)
     nnz = int(row.shape[0])
+    if group == "auto":
+        group = (_pick_group(row, num_rows, nnz)
+                 if jax.default_backend() != "cpu" else 8)
 
-    eid, col_T, grow, gptr = _sell_pad(row, col, num_rows, num_cols, group)
+    eid, col_T, grow, gptr, ident = _sell_pad(row, col, num_rows,
+                                              num_cols, group)
     perm_t, row_t, col_t = _csc_view(row, col)
-    eid_t, col_Tt, _, gptr_t = _sell_pad(row_t, col_t, num_cols, num_rows,
-                                         group)
+    eid_t, col_Tt, _, gptr_t, ident_t = _sell_pad(row_t, col_t, num_cols,
+                                                  num_rows, group)
     ng = col_T.shape[1]
     vmap_t = _fwd_slot_map(eid, perm_t, eid_t, nnz=max(nnz, 1),
                            group=group, ng=ng)
@@ -230,7 +266,8 @@ def make_sell_plan(row, col, num_rows: int, num_cols: int, *,
             feat_dim < 128 and 128 % feat_dim == 0)
         l2_backend = "pallas" if (not on_cpu and k_ok) else "xla"
     plan = SellPlan(num_rows, num_cols, group, GC, CB, GCT, CBT,
-                    interpret=on_cpu, l2_backend=l2_backend)
+                    interpret=on_cpu, l2_backend=l2_backend,
+                    l2_identity=ident, l2_identity_t=ident_t)
     structure = SellStructure(col_T, gptr, grow, eid, row, col,
                               col_Tt, gptr_t, vmap_t, perm_t)
     return plan, structure
@@ -289,9 +326,11 @@ def _spmm_sell_fwd_oriented(plan: SellPlan, col_T, gptr, val_grid, x,
     if transpose:
         M = plan.num_cols
         CB, GC = plan.rows_per_block_t, plan.group_capacity_t
+        identity = plan.l2_identity_t
     else:
         M = plan.num_rows
         CB, GC = plan.rows_per_block, plan.group_capacity
+        identity = plan.l2_identity
     G = plan.group
     K = x.shape[1]
     nblocks = -(-M // CB)
@@ -328,7 +367,13 @@ def _spmm_sell_fwd_oriented(plan: SellPlan, col_T, gptr, val_grid, x,
             out = out + jnp.take(x, cols[i], axis=0,
                                  mode="clip").astype(acc_dtype) * (
                 v[:, None])
-        out_b = _level2(out, gp_l, CB, plan.interpret, plan.l2_backend)
+        if identity:
+            # one group per row: the partials ARE the output rows
+            out_b = (out[:CB] if GC >= CB
+                     else jnp.pad(out, ((0, CB - GC), (0, 0))))
+        else:
+            out_b = _level2(out, gp_l, CB, plan.interpret,
+                            plan.l2_backend)
         return out_b.astype(acc_dtype)
 
     out = jax.lax.map(block_fn, jnp.arange(nblocks, dtype=jnp.int32))

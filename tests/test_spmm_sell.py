@@ -208,3 +208,42 @@ def test_sell_grid_grads_match_xla():
     # pad slots carry zero gradient
     eid = np.asarray(s.eid).reshape(-1, G).T
     assert np.all(np.asarray(dvg)[eid < 0] == 0)
+
+
+def test_sell_identity_level2():
+    """Uniform-degree graph with G == degree: zero padding, one group per
+    row, level-2 skipped (plan.l2_identity) — results still exact."""
+    rng = np.random.default_rng(23)
+    M = N = 48
+    deg, G = 8, 8
+    row = np.repeat(np.arange(M, dtype=np.int32), deg)
+    col = rng.integers(0, N, M * deg).astype(np.int32)
+    val = rng.normal(size=M * deg).astype(np.float32)
+    x = rng.normal(size=(N, 16)).astype(np.float32)
+    plan, s = make_sell_plan(row, col, M, N, group=G, feat_dim=16)
+    assert plan.l2_identity
+    out = np.asarray(spmm_sell(plan, s, jnp.asarray(val), jnp.asarray(x)))
+    want = _dense(row, col, val, M, N) @ x
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+    # gradients flow through the identity path too
+    dv, dx = jax.grad(lambda v, xx: spmm_sell(plan, s, v, xx).sum(),
+                      (0, 1))(jnp.asarray(val), jnp.asarray(x))
+    dv2, dx2 = jax.grad(
+        lambda v, xx: spmm_coo(jnp.asarray(row), jnp.asarray(col), v, xx,
+                               M, "sum", backend="xla").sum(),
+        (0, 1))(jnp.asarray(val), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv2), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx2), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_sell_auto_group_cpu_default():
+    rng = np.random.default_rng(29)
+    row, col, val = _rand_graph(rng, 30, 30, 200)
+    plan, s = make_sell_plan(row, col, 30, 30, feat_dim=8)
+    assert plan.group >= 1   # auto resolved to a concrete int
+    x = rng.normal(size=(30, 8)).astype(np.float32)
+    out = np.asarray(spmm_sell(plan, s, jnp.asarray(val), jnp.asarray(x)))
+    want = _dense(row, col, val, 30, 30) @ x
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
