@@ -115,14 +115,19 @@ def measure(backend: str, scale: float):
     t_plan0 = time.perf_counter()
     if backend == "sell":
         from paddle_sparse_tpu.ops.spmm_sell import (make_sell_plan,
-                                                     spmm_sell)
-        plan, structure = make_sell_plan(row, col, num_nodes, num_nodes)
-        jax.block_until_ready(structure)
+                                                     pad_values, spmm_sell)
+        plan, structure = make_sell_plan(row, col, num_nodes, num_nodes,
+                                         feat_dim=dim)
+        # values live in the format's (G, groups) grid (one-time
+        # conversion at operand build, like CSR keeps values in CSR
+        # order); the grid is the differentiated leaf
+        value_grid = pad_values(structure, value, group=plan.group)
+        jax.block_until_ready((structure, value_grid))
 
         def spmm_fn(s, v, xx):
             return spmm_sell(plan, s, v, xx)
 
-        args = (structure, value, x)
+        args = (structure, value_grid, x)
     elif backend == "pallas":
         from paddle_sparse_tpu.ops.spmm import make_spmm_plan, spmm_chunked
         plan, structure = make_spmm_plan(row, col, num_nodes, num_nodes, dim)

@@ -115,24 +115,32 @@ def _sell_geometry(row, *, num_rows: int, group: int):
 def _sell_slots(rowptr, gptr, col, *, ngroups: int, group: int,
                 num_rows: int, num_cols: int):
     """Padded slot arrays: linear eid stream, transposed column grid and
-    the group -> row map."""
+    the group -> row map.
+
+    Works at (ngroups, G) granularity: the only searchsorted is the
+    group -> row map (ngroups queries, G-fold smaller than a per-slot
+    search — the per-slot variant faulted at 124M slots on v5e).
+    """
     deg = rowptr[1:] - rowptr[:-1]
-    total_slots = ngroups * group
-    j = jnp.arange(total_slots, dtype=jnp.int32)
-    r = jnp.clip(jnp.searchsorted(gptr * group, j, side="right") - 1,
-                 0, max(num_rows - 1, 0)).astype(jnp.int32)
-    within = j - gptr[r] * group
-    valid = within < jnp.take(deg, r, mode="clip")
-    eid = jnp.where(valid, jnp.take(rowptr, r, mode="clip") + within,
-                    -1).astype(jnp.int32)
-    col_p = jnp.where(valid, jnp.take(col, jnp.clip(eid, 0), mode="clip"),
-                      num_cols).astype(jnp.int32)
-    # slot (i, g) of col_T holds padded-stream position g*G + i
-    col_T = col_p.reshape(ngroups, group).T
     grow = jnp.clip(
         jnp.searchsorted(gptr, jnp.arange(ngroups, dtype=jnp.int32),
                          side="right") - 1,
         0, max(num_rows - 1, 0)).astype(jnp.int32)
+    g_ids = jnp.arange(ngroups, dtype=jnp.int32)
+    i_ids = jnp.arange(group, dtype=jnp.int32)
+    # slot (g, i): offset inside its row = (g - first group of row)*G + i
+    within = ((g_ids - jnp.take(gptr, grow, mode="clip"))[:, None] * group
+              + i_ids[None, :])
+    valid = within < jnp.take(deg, grow, mode="clip")[:, None]
+    eid2d = jnp.where(
+        valid, jnp.take(rowptr, grow, mode="clip")[:, None] + within,
+        -1).astype(jnp.int32)
+    col2d = jnp.where(valid,
+                      jnp.take(col, jnp.clip(eid2d, 0), mode="clip"),
+                      num_cols).astype(jnp.int32)
+    # slot (i, g) of col_T holds padded-stream position g*G + i
+    col_T = col2d.T
+    eid = eid2d.reshape(-1)
     return eid, col_T, grow
 
 
@@ -232,7 +240,7 @@ def _plan_blocks(gptr_host, feat_dim: int, target_bytes: int):
 
 def make_sell_plan(row, col, num_rows: int, num_cols: int, *,
                    group="auto", feat_dim: int = 256,
-                   target_bytes: int = 256 * 1024 * 1024,
+                   target_bytes: int = 120 * 1024 * 1024,
                    l2_backend: Optional[str] = None):
     """Host-side setup: build the padded-group structure (both
     orientations) and the row-block geometry.  Eager — needs concrete
@@ -461,7 +469,12 @@ def _grid_to_transpose(plan, s, grid):
     # the (G, ng) grid itself; one extra zero cell backs the pad sentinel
     flat = jnp.concatenate([grid.reshape(-1),
                             jnp.zeros((1,), grid.dtype)])
-    return jnp.take(flat, s.vmap_t, mode="clip")
+    out = jnp.take(flat, s.vmap_t, mode="clip")
+    # materialize: without the barrier XLA fuses this gather as a producer
+    # into every one of the G row gathers of the transpose pass, which
+    # stops them from fusing into one streaming sum (measured: the d_x
+    # pass then materializes G (ng_t, K) temps and OOMs at scale)
+    return jax.lax.optimization_barrier(out)
 
 
 def _spmm_sell_fwd(plan, s, value, x):
