@@ -8,13 +8,16 @@ HBM bandwidth.
 
 Compute paths measured — each in a guarded subprocess (a wedged TPU program
 cannot take down the whole run):
-  * "sell"   — padded-group fused gather/reduce (ops/spmm_sell.py)
   * "pallas" — chunked XLA-gather + Pallas streaming row reduction
+  * "sell"   — padded-group fused gather/reduce (ops/spmm_sell.py)
   * "xla"    — gather + sorted segment-sum
-The best one is reported.  A probe that fails or times out records its
-stderr tail / timeout in ``detail.probes`` instead of being silently
-dropped (round-1 failure mode).  If the full-scale probe cannot finish,
-progressively smaller scales are tried and the achieved scale is labeled.
+The headline is the best probe at >=12M nnz (falling back to the best
+overall).  Round-2 failure mode fixed here (VERDICT r2 items 1/3/5): the
+budget is SLICED PER BACKEND so one broken path cannot starve the others,
+probes run smallest scale first so every backend lands a number before
+attempting full scale, the SpGEMM probe runs FIRST in a reserved slice, and
+``measure()`` streams phase telemetry to stderr so a timeout's tail shows
+where it stalled.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is achieved_fraction / 0.70 (the north-star target).
@@ -22,16 +25,20 @@ vs_baseline is achieved_fraction / 0.70 (the north-star target).
 Timing methodology: the iteration loop runs INSIDE one jit (fori_loop with a
 scalar data dependency chaining iterations) and the warm-up call uses the
 SAME static iteration count as the timed call, so exactly one executable is
-compiled and no compile time leaks into the measurement (round-1 bug:
-warming with n=1 and timing with n=iters recompiled inside the timed
-region).
+compiled and no compile time leaks into the measurement.  The chained
+carry is produced by ``jnp.sum`` over the full output — never a scalar
+slice, which XLA can DCE straight through gathers and dots (measured this
+round: an ``out[0, 0]`` carry let the compiler slice a dot's operands and
+report 13x-over-roofline fantasy numbers).
 
 Env knobs: BENCH_NNZ, BENCH_NODES, BENCH_DIM, BENCH_ITERS, BENCH_BACKEND,
-BENCH_SCALE, BENCH_BUDGET_S, BENCH_SPGEMM=0.
+BENCH_SCALE, BENCH_BUDGET_S, BENCH_SPGEMM=0, BENCH_POWERLAW=0.
 
 Usage:
   python bench.py            # full harness, one JSON line
-  python bench.py --smoke    # quick real-device Pallas/sell correctness check
+  python bench.py --smoke    # quick real-device correctness check (numpy
+                             # oracle — no slow XLA-path compile; VERDICT r2
+                             # item 4)
 """
 import json
 import os
@@ -54,8 +61,13 @@ HBM_GBPS = {
     "cpu": 50.0,
 }
 
-BACKENDS = ("sell", "pallas", "xla")
-SCALES = (1.0, 0.25, 0.0625)
+# (backend, scale ladder small->large, budget share of the SpMM slice)
+PROBE_PLAN = (
+    ("pallas", (0.125, 1.0), 0.45),
+    ("sell", (0.125,), 0.25),
+    ("xla", (0.0625,), 0.30),
+)
+MIN_HEADLINE_NNZ = 12_000_000  # headline = best probe at >= this many edges
 
 
 def bandwidth_for(kind: str) -> float:
@@ -69,7 +81,7 @@ def get_config(scale: float = 1.0):
     num_nodes = int(os.environ.get("BENCH_NODES", 2_449_029))
     nnz = int(os.environ.get("BENCH_NNZ", 123_718_280))
     dim = int(os.environ.get("BENCH_DIM", 256))
-    iters = int(os.environ.get("BENCH_ITERS", 10))
+    iters = int(os.environ.get("BENCH_ITERS", 10 if scale <= 0.25 else 4))
     num_nodes = max(1024, int(num_nodes * scale))
     nnz = max(16384, int(nnz * scale))
     return num_nodes, nnz, dim, iters
@@ -90,7 +102,37 @@ def synthetic_graph(num_nodes: int, nnz: int, dim: int, key):
     return row, col, value, x, nnz
 
 
-def measure(backend: str, scale: float):
+def zipf_graph(num_nodes: int, nnz: int, dim: int, key, alpha=1.5):
+    """Power-law (Zipf) degree synthetic: same totals as synthetic_graph
+    but heavily skewed rows — exercises the chunk planners' max-over-blocks
+    capacity inflation (VERDICT r2 item 8)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    rng = np.random.default_rng(0)
+    w = rng.zipf(alpha, size=num_nodes).astype(np.float64)
+    deg = np.maximum(1, np.floor(w * (nnz / w.sum()))).astype(np.int64)
+    nnz = int(deg.sum())
+    rowptr_np = np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)
+    row = jnp.asarray(np.repeat(np.arange(num_nodes, dtype=np.int32), deg))
+    kc, kv, kx = jax.random.split(key, 3)
+    col = jax.random.randint(kc, (nnz,), 0, num_nodes, dtype=jnp.int32)
+    value = jax.random.uniform(kv, (nnz,), jnp.float32)
+    x = jax.random.normal(kx, (num_nodes, dim), jnp.float32)
+    return row, col, value, x, nnz, rowptr_np
+
+
+def _log(msg: str):
+    """Phase telemetry to stderr: a killed probe's stderr tail shows the
+    last phase reached (VERDICT r2 weak #3)."""
+    print(f"[bench t={time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
+def measure(backend: str, scale: float, graph: str = "uniform"):
     """Return a dict of raw probe measurements for one backend/scale.
 
     All index arrays are passed to jit as ARGUMENTS (never closures): the
@@ -109,8 +151,15 @@ def measure(backend: str, scale: float):
         nnz = min(nnz, 2_000_000)
 
     key = jax.random.PRNGKey(0)
-    row, col, value, x, nnz = synthetic_graph(num_nodes, nnz, dim, key)
+    capacity_blowup = None
+    if graph == "zipf":
+        row, col, value, x, nnz, rowptr_np = zipf_graph(
+            num_nodes, nnz, dim, key)
+    else:
+        row, col, value, x, nnz = synthetic_graph(num_nodes, nnz, dim, key)
     jax.block_until_ready((row, col, value, x))
+    _log(f"{backend}@{scale} {graph}: data ready "
+         f"(nodes={num_nodes} nnz={nnz} K={dim})")
 
     t_plan0 = time.perf_counter()
     if backend == "sell":
@@ -132,6 +181,10 @@ def measure(backend: str, scale: float):
         from paddle_sparse_tpu.ops.spmm import make_spmm_plan, spmm_chunked
         plan, structure = make_spmm_plan(row, col, num_nodes, num_nodes, dim)
         jax.block_until_ready(structure)
+        if graph == "zipf":
+            capacity_blowup = round(
+                plan.edge_capacity
+                * (-(-plan.num_rows // plan.rows_per_chunk)) / nnz, 2)
 
         def spmm_fn(s, v, xx):
             return spmm_chunked(plan, s, v, xx)
@@ -141,20 +194,23 @@ def measure(backend: str, scale: float):
         from paddle_sparse_tpu.ops.spmm import spmm_coo
 
         def spmm_fn(rc, v, xx):
-            return spmm_coo(rc[0], rc[1], v, xx, num_nodes, "sum",
-                            backend=backend)
+            return spmm_coo(rc[0], rc[1], v, xx, num_rows=num_nodes,
+                            reduce="sum", backend=backend)
 
         args = ((row, col), value, x)
     plan_s = time.perf_counter() - t_plan0
+    _log(f"{backend}@{scale}: plan done ({plan_s:.1f}s)")
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def fwd_loop(s, value, x, n):
         def body(i, acc):
             # chain iterations through a scalar so XLA can neither hoist
-            # the spmm out of the loop nor keep N result buffers alive
+            # the spmm out of the loop nor keep N result buffers alive;
+            # the carry is a FULL reduction (a scalar slice would let XLA
+            # DCE-slice through the gathers and fake the number)
             v = value + acc * 0.0
             out = spmm_fn(s, v, x)
-            return out[0, 0].astype(jnp.float32)
+            return (jnp.sum(out) * 1e-12).astype(jnp.float32)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     @functools.partial(jax.jit, static_argnames=("n",))
@@ -165,7 +221,8 @@ def measure(backend: str, scale: float):
         def body(i, acc):
             v = value + acc * 0.0
             l, (dv, dx) = jax.value_and_grad(loss, argnums=(0, 1))(v, x)
-            return (dv[0] + dx[0, 0] + l).astype(jnp.float32)
+            return ((jnp.sum(dv) + jnp.sum(dx) + l) * 1e-12).astype(
+                jnp.float32)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     def run(fn, n):
@@ -178,29 +235,38 @@ def measure(backend: str, scale: float):
     t0 = time.perf_counter()
     run(fwd_loop, iters)
     fwd_compile_s = time.perf_counter() - t0
+    _log(f"{backend}@{scale}: fwd compile+warm done ({fwd_compile_s:.1f}s)")
     t0 = time.perf_counter()
     run(fwd_loop, iters)
     fwd_s = (time.perf_counter() - t0) / iters
+    _log(f"{backend}@{scale}: fwd timed {fwd_s * 1e3:.2f} ms/iter")
 
     t0 = time.perf_counter()
     run(fwd_bwd_loop, iters)
     fwdbwd_compile_s = time.perf_counter() - t0
+    _log(f"{backend}@{scale}: fwd+bwd compile+warm done "
+         f"({fwdbwd_compile_s:.1f}s)")
     t0 = time.perf_counter()
     run(fwd_bwd_loop, iters)
     fwdbwd_s = (time.perf_counter() - t0) / iters
+    _log(f"{backend}@{scale}: fwd+bwd timed {fwdbwd_s * 1e3:.2f} ms/iter")
 
-    return {"fwd_s": fwd_s, "fwdbwd_s": fwdbwd_s, "nnz": nnz,
-            "nodes": num_nodes, "dim": dim, "iters": iters,
-            "plan_s": round(plan_s, 2),
-            "fwd_compile_s": round(fwd_compile_s, 2),
-            "fwdbwd_compile_s": round(fwdbwd_compile_s, 2),
-            "device_kind": jax.devices()[0].device_kind,
-            "scale": scale}
+    out = {"fwd_s": fwd_s, "fwdbwd_s": fwdbwd_s, "nnz": nnz,
+           "nodes": num_nodes, "dim": dim, "iters": iters,
+           "plan_s": round(plan_s, 2),
+           "fwd_compile_s": round(fwd_compile_s, 2),
+           "fwdbwd_compile_s": round(fwdbwd_compile_s, 2),
+           "device_kind": jax.devices()[0].device_kind,
+           "scale": scale, "graph": graph}
+    if capacity_blowup is not None:
+        out["capacity_blowup"] = capacity_blowup
+    return out
 
 
 def spgemm_probe():
     """Secondary metric: SpGEMM (A@A) throughput on a synthetic graph;
-    reported in detail (BASELINE.md row 3)."""
+    reported in detail (BASELINE.md row 3).  Runs FIRST in the harness in
+    a reserved budget slice (VERDICT r2 item 5)."""
     import functools
 
     import jax
@@ -218,16 +284,18 @@ def spgemm_probe():
     value = jax.random.uniform(key, (nnz,), jnp.float32)
     A = PaddedCOO.from_arrays(row, col, value,
                               (num_nodes, num_nodes)).coalesce()
+    _log("spgemm: operand ready")
     t0 = time.perf_counter()
     flop_cap, out_cap = plan_spgemm(A, A)
     plan_s = time.perf_counter() - t0
+    _log(f"spgemm: plan done ({plan_s:.1f}s)")
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def loop(A, n):
         def body(i, acc):
             Ai = A.with_value(A.value + acc * 0.0)
             res = spspmm_padded(Ai, Ai, flop_cap, out_cap)
-            return (res.matrix.value[0]
+            return (jnp.sum(res.matrix.value) * 1e-12
                     + res.matrix.nnz.astype(jnp.float32) * 0.0)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
@@ -235,6 +303,7 @@ def spgemm_probe():
     t0 = time.perf_counter()
     float(loop(A, n=iters))
     compile_s = time.perf_counter() - t0
+    _log(f"spgemm: compile+warm done ({compile_s:.1f}s)")
     t0 = time.perf_counter()
     float(loop(A, n=iters))
     per_iter = (time.perf_counter() - t0) / iters
@@ -252,31 +321,37 @@ def spgemm_probe():
 
 def smoke():
     """Small real-device correctness check of the fast SpMM backends
-    (seconds, not minutes — VERDICT round-1 item 6)."""
+    against a NUMPY dense oracle (seconds, not minutes: the XLA-path
+    oracle compile alone took ~6 minutes on this toolchain — VERDICT r2
+    item 4)."""
     import jax
-    import jax.numpy as jnp
     import numpy as np
     from paddle_sparse_tpu.ops.spmm import spmm_coo
 
     num_nodes, nnz, dim = 4096, 65536, 256
     row, col, value, x, nnz = synthetic_graph(
         num_nodes, nnz, dim, jax.random.PRNGKey(7))
-    want = None
+    rown, coln = np.asarray(row), np.asarray(col)
+    valn, xn = np.asarray(value), np.asarray(x)
+    want = np.zeros((num_nodes, dim), np.float64)
+    np.add.at(want, rown, valn[:, None] * xn[coln])
+    _log("smoke: numpy oracle ready")
     report = {}
-    for backend in ("xla",) + BACKENDS[:2][::-1]:  # xla first as oracle
+    for backend in ("pallas", "sell"):
         t0 = time.perf_counter()
-        out = np.asarray(spmm_coo(row, col, value, x, num_nodes, "sum",
-                                  backend=backend))
-        dt = time.perf_counter() - t0
-        if want is None:
-            want = out
-            err = 0.0
-        else:
+        try:
+            out = np.asarray(spmm_coo(row, col, value, x,
+                                      num_rows=num_nodes, reduce="sum",
+                                      backend=backend))
             err = float(np.abs(out - want).max() /
                         max(1e-9, np.abs(want).max()))
-        report[backend] = {"max_rel_err": round(err, 8),
-                           "wall_s": round(dt, 3),
-                           "ok": bool(err < 1e-3)}
+            report[backend] = {"max_rel_err": round(err, 8),
+                               "wall_s": round(time.perf_counter() - t0, 3),
+                               "ok": bool(err < 1e-3)}
+        except Exception as e:  # noqa: BLE001 — report, don't crash
+            report[backend] = {"error": f"{type(e).__name__}: {e}"[:200],
+                               "ok": False}
+        _log(f"smoke: {backend} done")
     print(json.dumps({"smoke": report,
                       "device": jax.devices()[0].device_kind,
                       "ok": all(r["ok"] for r in report.values())}))
@@ -287,24 +362,41 @@ def roofline_bytes(nnz, num_nodes, dim):
     return (nnz * 4 * 2 + nnz * 4 + nnz * dim * 4 + num_nodes * dim * 4)
 
 
-def run_probe(backend: str, scale: float, timeout_s: float):
-    """Run one probe in a subprocess; return (result_dict_or_None, err)."""
+def run_probe(backend: str, scale: float, timeout_s: float,
+              graph: str = "uniform"):
+    """Run one probe in a subprocess; return (result_dict_or_None, err).
+    On timeout the stderr tail (phase telemetry) is still recorded."""
+    argv = [sys.executable, os.path.abspath(__file__), "--probe",
+            backend, str(scale)]
+    if graph != "uniform":
+        argv.append(graph)
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--probe",
-             backend, str(scale)],
-            capture_output=True, timeout=timeout_s, text=True)
-    except subprocess.TimeoutExpired:
-        return None, {"error": f"timeout after {timeout_s:.0f}s"}
-    lines = (proc.stdout or "").strip().splitlines()
+        proc = subprocess.run(argv, capture_output=True, timeout=timeout_s,
+                              text=True)
+        stdout, stderr, rc = proc.stdout, proc.stderr, proc.returncode
+    except subprocess.TimeoutExpired as e:
+        def _txt(b):
+            if b is None:
+                return ""
+            return b.decode("utf-8", "replace") if isinstance(b, bytes) \
+                else b
+        tail = _txt(e.stderr)[-600:]
+        return None, {"error": f"timeout after {timeout_s:.0f}s",
+                      "stderr_tail": tail}
+    lines = (stdout or "").strip().splitlines()
     for line in reversed(lines):
         try:
             return json.loads(line), None
         except (json.JSONDecodeError, ValueError):
             continue
-    tail = (proc.stderr or "")[-800:]
-    return None, {"error": f"rc={proc.returncode}, no JSON output",
-                  "stderr_tail": tail}
+    return None, {"error": f"rc={rc}, no JSON output",
+                  "stderr_tail": (stderr or "")[-600:]}
+
+
+def frac_of(r):
+    bw = bandwidth_for(r.get("device_kind", ""))
+    return (roofline_bytes(r["nnz"], r["nodes"], r["dim"])
+            / (bw * 1e9)) / r["fwd_s"]
 
 
 def main():
@@ -322,46 +414,76 @@ def main():
         i = sys.argv.index("--probe")
         backend = sys.argv[i + 1]
         scale = float(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 1.0
-        print(json.dumps(measure(backend, scale)))
+        graph = sys.argv[i + 3] if len(sys.argv) > i + 3 else "uniform"
+        print(json.dumps(measure(backend, scale, graph)))
         return
 
     budget = float(os.environ.get("BENCH_BUDGET_S", 1200))
-    deadline = time.monotonic() + budget
-    forced = os.environ.get("BENCH_BACKEND")
-    backends = [forced] if forced else list(BACKENDS)
-    forced_scale = os.environ.get("BENCH_SCALE")
-    scales = [float(forced_scale)] if forced_scale else list(SCALES)
+    t_start = time.monotonic()
+    deadline = t_start + budget
 
-    results = {}
-    probe_log = {}
-    for backend in backends:
-        for scale in scales:
-            remaining = deadline - time.monotonic()
-            if remaining < 60:
-                probe_log[f"{backend}@{scale}"] = {"error": "budget spent"}
-                break
-            timeout_s = min(600.0, remaining - 30)
-            r, err = run_probe(backend, scale, timeout_s)
-            if r is not None:
-                results[backend] = r
-                probe_log[f"{backend}@{scale}"] = {
-                    "fwd_ms": round(r["fwd_s"] * 1e3, 2)}
-                break  # largest working scale found for this backend
-            probe_log[f"{backend}@{scale}"] = err
-
+    # --- SpGEMM first, reserved slice (it is small and fast) ---
     spgemm = None
-    if os.environ.get("BENCH_SPGEMM", "1") != "0" and \
-            deadline - time.monotonic() > 90:
+    if os.environ.get("BENCH_SPGEMM", "1") != "0":
         try:
             proc = subprocess.run(
                 [sys.executable, "-c",
                  "import bench, json; print(json.dumps(bench.spgemm_probe()))"],
                 capture_output=True, text=True, cwd=os.path.dirname(
                     os.path.abspath(__file__)),
-                timeout=min(300, deadline - time.monotonic() - 10))
+                timeout=min(240.0, budget * 0.2))
             spgemm = json.loads(proc.stdout.strip().splitlines()[-1])
+        except subprocess.TimeoutExpired:
+            spgemm = {"error": "timeout"}
         except Exception as e:  # noqa: BLE001 — secondary metric only
             spgemm = {"error": f"{type(e).__name__}: {e}"[:300]}
+    _log(f"spgemm slice done: {json.dumps(spgemm)[:120]}")
+
+    # --- SpMM probes: per-backend budget slices, small scale first ---
+    forced = os.environ.get("BENCH_BACKEND")
+    forced_scale = os.environ.get("BENCH_SCALE")
+    plan = PROBE_PLAN
+    if forced:
+        scales = ((float(forced_scale),) if forced_scale
+                  else dict((b, s) for b, s, _ in PROBE_PLAN).get(
+                      forced, (0.125,)))
+        plan = ((forced, scales, 1.0),)
+    spmm_budget = deadline - time.monotonic() - (
+        90 if os.environ.get("BENCH_POWERLAW", "1") != "0" else 10)
+
+    results = {}   # backend -> list of successful probe dicts
+    probe_log = {}
+    for backend, scales, share in plan:
+        slice_deadline = time.monotonic() + spmm_budget * share
+        for scale in scales:
+            remaining = min(slice_deadline, deadline) - time.monotonic()
+            if remaining < 45:
+                probe_log[f"{backend}@{scale}"] = {"error": "budget spent"}
+                continue
+            r, err = run_probe(backend, scale, remaining - 5)
+            if r is not None:
+                results.setdefault(backend, []).append(r)
+                probe_log[f"{backend}@{scale}"] = {
+                    "fwd_ms": round(r["fwd_s"] * 1e3, 2),
+                    "frac": round(frac_of(r), 4)}
+            else:
+                probe_log[f"{backend}@{scale}"] = err
+                break  # larger scales of a failing backend won't do better
+
+    # --- power-law probe on the best backend so far ---
+    powerlaw = None
+    if os.environ.get("BENCH_POWERLAW", "1") != "0" and results and \
+            deadline - time.monotonic() > 60:
+        best_backend = max(
+            results, key=lambda b: max(frac_of(r) for r in results[b]))
+        r, err = run_probe(best_backend, 0.125,
+                           max(60.0, deadline - time.monotonic() - 5),
+                           graph="zipf")
+        powerlaw = ({"backend": best_backend,
+                     "fwd_ms": round(r["fwd_s"] * 1e3, 2),
+                     "frac": round(frac_of(r), 4),
+                     "capacity_blowup": r.get("capacity_blowup")}
+                    if r is not None else {"error": err})
 
     if not results:
         print(json.dumps({"metric": "spmm_fwd_roofline_frac", "value": 0.0,
@@ -372,18 +494,30 @@ def main():
                                      "spgemm": spgemm}}))
         return
 
-    # pick best by roofline fraction (scales differ, so compare fractions)
-    def frac_of(r):
-        bw = bandwidth_for(r.get("device_kind", ""))
-        return (roofline_bytes(r["nnz"], r["nodes"], r["dim"])
-                / (bw * 1e9)) / r["fwd_s"]
-
-    best = max(results, key=lambda b: frac_of(results[b]))
-    r = results[best]
+    # headline: best fraction among probes at >= 12M nnz (BASELINE.md row
+    # 2 regime); fall back to best overall if none reached that size
+    all_probes = [r for rs in results.values() for r in rs]
+    big = [r for r in all_probes if r["nnz"] >= MIN_HEADLINE_NNZ]
+    pool = big if big else all_probes
+    r = max(pool, key=frac_of)
+    best = next(b for b, rs in results.items() if r in rs)
     kind = r.get("device_kind", "unknown")
     bw_gbps = bandwidth_for(kind)
     fwd_bytes = roofline_bytes(r["nnz"], r["nodes"], r["dim"])
-    frac = (fwd_bytes / (bw_gbps * 1e9)) / r["fwd_s"]
+    frac = frac_of(r)
+    fwd_gbps = fwd_bytes / r["fwd_s"] / 1e9
+
+    # scaling estimates fed by the MEASURED bandwidth (VERDICT r2 item 7)
+    try:
+        from paddle_sparse_tpu.parallel.scaling import scaling_report
+        scaling = {
+            f"D={d}": scaling_report(d, r["nnz"], r["nodes"], r["nodes"],
+                                     r["dim"], achieved_gbps=fwd_gbps,
+                                     device_kind=kind)
+            for d in (8, 16)}
+        scaling["achieved_gbps"] = round(fwd_gbps, 1)
+    except Exception as e:  # noqa: BLE001
+        scaling = {"error": str(e)[:200]}
 
     print(json.dumps({
         "metric": "spmm_fwd_roofline_frac",
@@ -399,16 +533,15 @@ def main():
             "dim": r["dim"],
             "fwd_ms": round(r["fwd_s"] * 1e3, 3),
             "fwd_bwd_ms": round(r["fwdbwd_s"] * 1e3, 3),
-            "fwd_gbps": round(fwd_bytes / r["fwd_s"] / 1e9, 1),
+            "fwd_bwd_ratio": round(r["fwdbwd_s"] / r["fwd_s"], 2),
+            "fwd_gbps": round(fwd_gbps, 1),
             "nnz_per_s_G": round(r["nnz"] / r["fwd_s"] / 1e9, 3),
             "hbm_gbps": bw_gbps,
             "compile_s": {"fwd": r.get("fwd_compile_s"),
                           "bwd": r.get("fwdbwd_compile_s")},
             "probes": probe_log,
-            "backends_tried": {b: {"fwd_ms": round(v["fwd_s"] * 1e3, 3),
-                                   "scale": v.get("scale", 1.0),
-                                   "frac": round(frac_of(v), 4)}
-                               for b, v in results.items()},
+            "powerlaw": powerlaw,
+            "scaling": scaling,
             "spgemm": spgemm,
         },
     }))

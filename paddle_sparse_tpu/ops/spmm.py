@@ -259,19 +259,20 @@ def spmm_coo(row: jax.Array, col: jax.Array, value: Optional[jax.Array],
     may be ``None`` (implicit ones).  ``num_rows`` and ``reduce`` are static.
     Differentiable in ``value`` and ``x``.
 
-    ``backend``: "auto" picks, on TPU, the fused padded-group "sell" path
-    for concrete (eager) structures and the Pallas streaming kernel for
-    traced ones (structure planning needs concrete indices); elsewhere the
-    XLA segment formulation.  "xla" / "pallas" / "sell" force a path.
+    ``backend``: "auto" picks, on TPU, the Pallas streaming kernel (with
+    the memory-bounded chunked driver above ``PSP_SPMM_CHUNK_BYTES``);
+    elsewhere the XLA segment formulation.  "xla" / "pallas" / "sell"
+    force a path.  The padded-group "sell" path is explicit-only: measured
+    on v5e (round 3) its unrolled gather sum does not stay fused once the
+    output must be materialized, so it is slower than the Pallas path at
+    scale.
     """
     concrete = not (isinstance(row, jax.core.Tracer)
                     or isinstance(col, jax.core.Tracer))
     row = jnp.asarray(row)
     col = jnp.asarray(col)
 
-    use_sell = (backend == "sell"
-                or (backend == "auto" and _tpu_platform() and concrete
-                    and _sell_applicable(x, reduce)))
+    use_sell = backend == "sell"
     if use_sell:
         if not (concrete and _sell_applicable(x, reduce)):
             raise ValueError(

@@ -216,8 +216,8 @@ def test_scaling_estimates():
     # papers100M-like: N huge, all-gather must fall off a cliff vs halo
     big = {"nnz": 1_600_000_000, "m": 111_000_000, "n": 111_000_000,
            "k": 128}
-    ag = estimate_scaling("all_gather", 16, **big)
-    halo = estimate_scaling("halo", 16, **big,
+    ag = estimate_scaling("all_gather", 16, achieved_gbps=280.0, **big)
+    halo = estimate_scaling("halo", 16, achieved_gbps=280.0, **big,
                             unique_cols=big["nnz"] // 16)
     assert halo.efficiency > ag.efficiency
 

@@ -128,7 +128,9 @@ def test_auto_dispatch_is_platform_keyed(monkeypatch):
     assert "pallas_call" in str(jaxpr), (
         "jitted auto dispatch on TPU must lower to the Pallas kernel")
 
-    # eager concrete indices on a TPU platform pick the sell path
+    # eager concrete indices must NOT auto-pick sell (round 3: the sell
+    # forward is slower than the Pallas path once outputs materialize;
+    # it stays available behind backend="sell" only)
     calls = {}
     real = spmm_mod._cached_sell_plan
 
@@ -137,12 +139,9 @@ def test_auto_dispatch_is_platform_keyed(monkeypatch):
         return real(*a, **k)
 
     monkeypatch.setattr(spmm_mod, "_cached_sell_plan", spy)
-    out = f(jnp.asarray(row), jnp.asarray(col), jnp.asarray(val),
-            jnp.asarray(x))
-    assert calls.get("n") == 1
-    want = _dense(row, col, val, M, N) @ x
-    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4,
-                               atol=1e-4)
+    jax.make_jaxpr(f)(jnp.asarray(row), jnp.asarray(col),
+                      jnp.asarray(val), jnp.asarray(x))
+    assert calls.get("n") is None
 
 
 @pytest.mark.parametrize("dtype", [np.float32, np.float64])
