@@ -212,16 +212,30 @@ def _spmm_chunked_bwd(plan, res, g):
 spmm_chunked.defvjp(_spmm_chunked_fwd, _spmm_chunked_bwd)
 
 
-# Below this size the single-shot kernel (whole product stream in one HBM
-# buffer) is used; above it the chunked driver bounds peak memory.
-_CHUNK_THRESHOLD_BYTES = int(__import__("os").environ.get(
-    "PSP_SPMM_CHUNK_BYTES", 1 << 30))
-
-
-# plan cache for the sell backend: keyed on the col array's identity
-# (jax.Arrays are unhashable, so id + weakref liveness check) so repeated
-# eager calls on the same sparse structure plan once
+# plan caches: keyed on the col array's identity (jax.Arrays are
+# unhashable, so id + weakref liveness check) so repeated eager calls on
+# the same sparse structure plan once
+_SPMM_PLAN_CACHE = {}
 _SELL_CACHE = {}
+
+
+def _cached_spmm_plan(row, col, num_rows: int, num_cols: int,
+                      feat_dim: int):
+    import weakref
+    key = (id(col), feat_dim)
+    ent = _SPMM_PLAN_CACHE.get(key)
+    if (ent is not None and ent[0]() is col and ent[1]() is row
+            and ent[2] == (num_rows, num_cols)):
+        return ent[3], ent[4]
+    plan, structure = make_spmm_plan(row, col, num_rows, num_cols,
+                                     feat_dim)
+    try:
+        _SPMM_PLAN_CACHE[key] = (
+            weakref.ref(col, lambda _: _SPMM_PLAN_CACHE.pop(key, None)),
+            weakref.ref(row), (num_rows, num_cols), plan, structure)
+    except TypeError:       # unweakrefable index type (e.g. np scalar)
+        pass
+    return plan, structure
 
 
 def _cached_sell_plan(row, col, num_rows: int, num_cols: int,
@@ -259,8 +273,8 @@ def spmm_coo(row: jax.Array, col: jax.Array, value: Optional[jax.Array],
     may be ``None`` (implicit ones).  ``num_rows`` and ``reduce`` are static.
     Differentiable in ``value`` and ``x``.
 
-    ``backend``: "auto" picks, on TPU, the Pallas streaming kernel (with
-    the memory-bounded chunked driver above ``PSP_SPMM_CHUNK_BYTES``);
+    ``backend``: "auto" picks, on TPU, the Pallas streaming kernel (the
+    memory-bounded chunked driver for concrete structures);
     elsewhere the XLA segment formulation.  "xla" / "pallas" / "sell"
     force a path.  The padded-group "sell" path is explicit-only: measured
     on v5e (round 3) its unrolled gather sum does not stay fused once the
@@ -296,18 +310,17 @@ def spmm_coo(row: jax.Array, col: jax.Array, value: Optional[jax.Array],
             common = jnp.promote_types(value.dtype, x.dtype)
             value = value.astype(common)
             x = x.astype(common)
+        # Concrete structures always take the chunked driver: it bounds
+        # peak HBM AND its backward d_x runs as a *sorted* transpose SpMM
+        # over the CSC view instead of an unsorted scatter (VERDICT r2
+        # item 6).  Plans are cached per structure identity.
+        if concrete:
+            plan, structure = _cached_spmm_plan(row, col, num_rows,
+                                                int(x.shape[0]),
+                                                int(x.shape[-1]))
+            return spmm_chunked(plan, structure, value, x).astype(x.dtype)
         from .convert import ind2ptr
         rowptr = ind2ptr(row, num_rows)
-        # Large problems: bound peak HBM by processing contiguous row
-        # blocks (needs a concrete structure for host-side planning).
-        prod_bytes = col.shape[0] * (x.shape[-1] if x.ndim > 1 else 1) * 4
-        if (not isinstance(row, jax.core.Tracer)
-                and not isinstance(col, jax.core.Tracer)
-                and prod_bytes > _CHUNK_THRESHOLD_BYTES):
-            plan, structure = make_spmm_plan(row, col, num_rows,
-                                             int(x.shape[0]),
-                                             int(x.shape[-1]))
-            return spmm_chunked(plan, structure, value, x).astype(x.dtype)
         return _spmm_sum_pallas_vjp(row, col, rowptr, num_rows)(value, x)
     if value is not None:
         value = jnp.asarray(value)

@@ -70,7 +70,9 @@ def shard_2d(tensor, dr: int, dc: int, index_dtype=jnp.int32,
     val_np = (np.asarray(value) if value is not None
               else np.ones(row_np.shape, np.float32))
 
-    bi, bj = row_np // rb, col_np // cb
+    from .spmm import _bucket_fill
+    bi = (row_np // rb).astype(np.int64)
+    bj = (col_np // cb).astype(np.int64)
     order = np.lexsort((row_np, bj, bi))
     row_s, col_s, val_s = row_np[order], col_np[order], val_np[order]
     bi_s, bj_s = bi[order], bj[order]
@@ -78,21 +80,16 @@ def shard_2d(tensor, dr: int, dc: int, index_dtype=jnp.int32,
     np.add.at(counts, (bi_s, bj_s), 1)
     C = max(1, int(counts.max()))
 
-    rows = np.full((dr, dc, C), rb, dtype=np.int64)
-    cols = np.zeros((dr, dc, C), dtype=np.int64)
-    vals = np.zeros((dr, dc, C), dtype=val_np.dtype)
-    starts = np.concatenate([[0], np.cumsum(counts.ravel())])
-    for i in range(dr):
-        for j in range(dc):
-            lo = starts[i * dc + j]
-            n = counts[i, j]
-            rows[i, j, :n] = row_s[lo:lo + n] - i * rb
-            cols[i, j, :n] = col_s[lo:lo + n] - j * cb
-            vals[i, j, :n] = val_s[lo:lo + n]
-    return Sharded2DMatrix(row=jnp.asarray(rows, index_dtype),
-                           col=jnp.asarray(cols, index_dtype),
-                           value=jnp.asarray(vals), shape=(M, N),
-                           grid=(dr, dc))
+    rows, cols, vals = _bucket_fill(
+        [(row_s - bi_s * rb).astype(np.int64),
+         (col_s - bj_s * cb).astype(np.int64), val_s],
+        bi_s * dc + bj_s, counts.ravel(), C, [rb, 0, 0])
+    return Sharded2DMatrix(row=jnp.asarray(rows.reshape(dr, dc, C),
+                                           index_dtype),
+                           col=jnp.asarray(cols.reshape(dr, dc, C),
+                                           index_dtype),
+                           value=jnp.asarray(vals.reshape(dr, dc, C)),
+                           shape=(M, N), grid=(dr, dc))
 
 
 def device_put_2d(mesh: Mesh, mat: Sharded2DMatrix,
