@@ -61,12 +61,15 @@ HBM_GBPS = {
     "cpu": 50.0,
 }
 
-# (backend, scale ladder small->large, budget share of the SpMM slice)
+# (backend, scale ladder small->large, budget share of the SpMM slice).
+# sell is NOT probed by default: measured r3, its forward is slower than
+# the pallas path at every non-toy size (retired as flagship; still
+# available via BENCH_BACKEND=sell / backend="sell").  xla is last: its
+# segment-sum compile alone exceeds most slices on this toolchain.
 PROBE_PLAN = (
-    ("pallas", (0.125, 1.0), 0.35),
-    ("pallas_bf16", (0.125, 1.0), 0.25),
-    ("sell", (0.125,), 0.15),
-    ("xla", (0.0625,), 0.25),
+    ("pallas_bf16", (0.125, 1.0), 0.50),
+    ("pallas", (0.125,), 0.20),
+    ("xla", (0.0625,), 0.30),
 )
 MIN_HEADLINE_NNZ = 12_000_000  # headline = best probe at >= this many edges
 
@@ -82,7 +85,7 @@ def get_config(scale: float = 1.0):
     num_nodes = int(os.environ.get("BENCH_NODES", 2_449_029))
     nnz = int(os.environ.get("BENCH_NNZ", 123_718_280))
     dim = int(os.environ.get("BENCH_DIM", 256))
-    iters = int(os.environ.get("BENCH_ITERS", 10 if scale <= 0.25 else 4))
+    iters = int(os.environ.get("BENCH_ITERS", 10 if scale <= 0.25 else 3))
     num_nodes = max(1024, int(num_nodes * scale))
     nnz = max(16384, int(nnz * scale))
     return num_nodes, nnz, dim, iters
@@ -90,16 +93,27 @@ def get_config(scale: float = 1.0):
 
 def synthetic_graph(num_nodes: int, nnz: int, dim: int, key):
     """Uniform-degree synthetic graph at target scale, generated on-device
-    (no host sort needed: rows are arange//deg, already sorted)."""
+    in ONE compiled program (each eager dispatch through the remote
+    tunnel can cost seconds; six of them cost the r3 full-scale probe
+    ~100 s of its slice).  No host sort needed: rows are arange//deg,
+    already sorted."""
+    import functools
+
     import jax
     import jax.numpy as jnp
     deg = max(1, nnz // num_nodes)
     nnz = deg * num_nodes
-    row = (jnp.arange(nnz, dtype=jnp.int32) // deg).astype(jnp.int32)
-    kc, kv, kx = jax.random.split(key, 3)
-    col = jax.random.randint(kc, (nnz,), 0, num_nodes, dtype=jnp.int32)
-    value = jax.random.uniform(kv, (nnz,), jnp.float32)
-    x = jax.random.normal(kx, (num_nodes, dim), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("n", "e", "d"))
+    def gen(key, n, e, d):
+        row = (jnp.arange(e, dtype=jnp.int32) // (e // n)).astype(jnp.int32)
+        kc, kv, kx = jax.random.split(key, 3)
+        col = jax.random.randint(kc, (e,), 0, n, dtype=jnp.int32)
+        value = jax.random.uniform(kv, (e,), jnp.float32)
+        x = jax.random.normal(kx, (n, d), jnp.float32)
+        return row, col, value, x
+
+    row, col, value, x = gen(key, num_nodes, nnz, dim)
     return row, col, value, x, nnz
 
 
@@ -288,17 +302,27 @@ def spgemm_probe():
     num_nodes = int(os.environ.get("BENCH_SPGEMM_NODES", 50_000))
     deg = int(os.environ.get("BENCH_SPGEMM_DEG", 16))
     nnz = num_nodes * deg
-    key = jax.random.PRNGKey(1)
-    row = (jnp.arange(nnz, dtype=jnp.int32) // deg).astype(jnp.int32)
-    col = jax.random.randint(key, (nnz,), 0, num_nodes, dtype=jnp.int32)
-    value = jax.random.uniform(key, (nnz,), jnp.float32)
-    A = PaddedCOO.from_arrays(row, col, value,
-                              (num_nodes, num_nodes)).coalesce()
+
+    @jax.jit
+    def setup(key):
+        # ONE compiled program for the whole operand build: eager per-op
+        # dispatch through the remote tunnel costs seconds per op
+        row = (jnp.arange(nnz, dtype=jnp.int32) // deg).astype(jnp.int32)
+        kc, kv = jax.random.split(key)
+        col = jax.random.randint(kc, (nnz,), 0, num_nodes, dtype=jnp.int32)
+        value = jax.random.uniform(kv, (nnz,), jnp.float32)
+        return PaddedCOO.from_arrays(row, col, value,
+                                     (num_nodes, num_nodes)).coalesce()
+
+    A = setup(jax.random.PRNGKey(1))
+    _ = float(A.nnz)
     _log("spgemm: operand ready")
     t0 = time.perf_counter()
-    flop_cap, out_cap = plan_spgemm(A, A)
+    # exact_out=False: the exact planner runs a full dry SpGEMM (minutes
+    # at probe scale); the flop bound is a valid if loose output bound
+    flop_cap, out_cap = plan_spgemm(A, A, exact_out=False)
     plan_s = time.perf_counter() - t0
-    _log(f"spgemm: plan done ({plan_s:.1f}s)")
+    _log(f"spgemm: plan done ({plan_s:.1f}s, caps={flop_cap}/{out_cap})")
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def loop(A, n):

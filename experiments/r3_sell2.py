@@ -87,6 +87,23 @@ elif CASE == "take2d":
     def block(c, v, xx, chain):
         vv = v + chain * 0.0
         return (jnp.take(xx, c, axis=0) * vv[:, :, None]).sum(axis=1)
+elif CASE == "cast16":
+    # bf16-cast root: a real consumer between the add-chain and the
+    # output buffer (and halves the output write)
+    def block(c, v, xx, chain):
+        return unrolled(c, v + chain * 0.0, xx).astype(jnp.bfloat16)
+elif CASE == "carryloop":
+    # exact replica of the one structure measured FUSED at 34 ms/block
+    # (t_src: fori whose carry is the (B, K) block), but returning the
+    # full carry so the result is honest/materialized
+    N_INNER = int(os.environ.get("SELL2_INNER", 2))
+
+    def block(c, v, xx, chain):
+        def body(i, out_prev):
+            vv = v + (chain + out_prev[0, 0] * 0.0) * 0.0
+            return unrolled(c, vv, xx)
+        return jax.lax.fori_loop(0, N_INNER, body,
+                                 jnp.zeros((B, K), jnp.float32))
 elif CASE == "scan1":
     def block(c, v, xx, chain):
         vv = v + chain * 0.0

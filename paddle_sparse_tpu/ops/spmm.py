@@ -143,6 +143,20 @@ class SpmmPlan(NamedTuple):
     interpret: bool = False
 
 
+@functools.partial(jax.jit, static_argnames=("num_rows", "num_cols"))
+def _spmm_structure(row, col, *, num_rows: int, num_cols: int):
+    """CSR + CSC index structure in ONE compiled program — eager per-op
+    dispatch through a remote tunnel costs seconds per op, which made the
+    unjitted build take ~96 s at ogbn-products scale (round-3 bench)."""
+    from .convert import ind2ptr
+    rowptr = ind2ptr(row, num_rows)
+    perm = jnp.argsort(col, stable=True)
+    row_t = jnp.take(col, perm)                 # sorted: rows of A^T
+    col_t = jnp.take(row, perm)
+    colptr = ind2ptr(row_t, num_cols)
+    return rowptr, perm, row_t, col_t, colptr
+
+
 def make_spmm_plan(row, col, num_rows: int, num_cols: int, feat_dim: int,
                    target_bytes: int = 512 * 1024 * 1024):
     """Host-side setup for large-scale SpMM: builds the CSC permutation and
@@ -150,16 +164,12 @@ def make_spmm_plan(row, col, num_rows: int, num_cols: int, feat_dim: int,
     indices).  Returns ``(plan, structure)`` for :func:`spmm_chunked`."""
     import numpy as np
 
-    from .convert import ind2ptr
     from .kernels.spmm_pallas import plan_row_chunks
 
     row = jnp.asarray(row)
     col = jnp.asarray(col)
-    rowptr = ind2ptr(row, num_rows)
-    perm = jnp.argsort(col, stable=True)
-    row_t = jnp.take(col, perm)                 # sorted: rows of A^T
-    col_t = jnp.take(row, perm)
-    colptr = ind2ptr(row_t, num_cols)
+    rowptr, perm, row_t, col_t, colptr = _spmm_structure(
+        row, col, num_rows=num_rows, num_cols=num_cols)
     CR, EC, _ = plan_row_chunks(np.asarray(rowptr), feat_dim,
                                 target_bytes=target_bytes)
     CRT, ECT, _ = plan_row_chunks(np.asarray(colptr), feat_dim,
