@@ -147,12 +147,20 @@ def _log(msg: str):
 _T0 = time.perf_counter()
 
 
-def measure(backend: str, scale: float, graph: str = "uniform"):
+def measure(backend: str, scale: float, graph: str = "uniform",
+            deadline_s: float = None):
     """Return a dict of raw probe measurements for one backend/scale.
 
     All index arrays are passed to jit as ARGUMENTS (never closures): the
     remote-compile transport serializes jaxpr constants into the compile
     request, and 124M-edge index arrays exceed its size limit.
+
+    ``deadline_s``: soft budget (seconds from call).  The probe checks it
+    BETWEEN phases and returns partial results instead of being killed —
+    a SIGKILLed client leaves its compile/execution running on the remote
+    device and wedges it for everyone after (measured r3: minutes of
+    degraded eager latency after each killed probe).  fwd always lands
+    before fwd+bwd is attempted.
     """
     import functools
 
@@ -254,6 +262,7 @@ def measure(backend: str, scale: float, graph: str = "uniform"):
         through remote-execution transports (axon)."""
         return float(fn(*args, n=n))
 
+    t_start = _T0 if deadline_s is None else time.perf_counter()
     # Warm-up compiles THE SAME executable as the timed call (same static
     # n) — one compile, zero retrace inside the timed region.
     t0 = time.perf_counter()
@@ -265,15 +274,26 @@ def measure(backend: str, scale: float, graph: str = "uniform"):
     fwd_s = (time.perf_counter() - t0) / iters
     _log(f"{backend}@{scale}: fwd timed {fwd_s * 1e3:.2f} ms/iter")
 
-    t0 = time.perf_counter()
-    run(fwd_bwd_loop, iters)
-    fwdbwd_compile_s = time.perf_counter() - t0
-    _log(f"{backend}@{scale}: fwd+bwd compile+warm done "
-         f"({fwdbwd_compile_s:.1f}s)")
-    t0 = time.perf_counter()
-    run(fwd_bwd_loop, iters)
-    fwdbwd_s = (time.perf_counter() - t0) / iters
-    _log(f"{backend}@{scale}: fwd+bwd timed {fwdbwd_s * 1e3:.2f} ms/iter")
+    fwdbwd_s = None
+    fwdbwd_compile_s = None
+    # fwd+bwd costs roughly (compile) + 2 * iters * ~5x fwd; skip it
+    # gracefully when the remaining budget can't cover that
+    need = fwd_compile_s * 4 + 2 * iters * 5 * fwd_s + 10
+    if deadline_s is not None and \
+            time.perf_counter() - t_start + need > deadline_s:
+        _log(f"{backend}@{scale}: skipping fwd+bwd (budget: need ~"
+             f"{need:.0f}s)")
+    else:
+        t0 = time.perf_counter()
+        run(fwd_bwd_loop, iters)
+        fwdbwd_compile_s = time.perf_counter() - t0
+        _log(f"{backend}@{scale}: fwd+bwd compile+warm done "
+             f"({fwdbwd_compile_s:.1f}s)")
+        t0 = time.perf_counter()
+        run(fwd_bwd_loop, iters)
+        fwdbwd_s = (time.perf_counter() - t0) / iters
+        _log(f"{backend}@{scale}: fwd+bwd timed {fwdbwd_s * 1e3:.2f} "
+             f"ms/iter")
 
     out = {"fwd_s": fwd_s, "fwdbwd_s": fwdbwd_s, "nnz": nnz,
            "nodes": num_nodes, "dim": dim, "iters": iters,
@@ -404,9 +424,13 @@ def run_probe(backend: str, scale: float, timeout_s: float,
             backend, str(scale)]
     if graph != "uniform":
         argv.append(graph)
+    env = dict(os.environ, BENCH_PROBE_DEADLINE=str(timeout_s))
     try:
-        proc = subprocess.run(argv, capture_output=True, timeout=timeout_s,
-                              text=True)
+        # soft limit via the probe's own deadline; the hard kill (which
+        # leaves orphaned work wedging the remote device) only fires with
+        # a generous grace period on top
+        proc = subprocess.run(argv, capture_output=True,
+                              timeout=timeout_s + 240, env=env, text=True)
         stdout, stderr, rc = proc.stdout, proc.stderr, proc.returncode
     except subprocess.TimeoutExpired as e:
         def _txt(b):
@@ -449,7 +473,9 @@ def main():
         backend = sys.argv[i + 1]
         scale = float(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 1.0
         graph = sys.argv[i + 3] if len(sys.argv) > i + 3 else "uniform"
-        print(json.dumps(measure(backend, scale, graph)))
+        dl = os.environ.get("BENCH_PROBE_DEADLINE")
+        print(json.dumps(measure(backend, scale, graph,
+                                 deadline_s=float(dl) if dl else None)))
         return
 
     budget = float(os.environ.get("BENCH_BUDGET_S", 1200))
@@ -570,8 +596,10 @@ def main():
             "nodes": r["nodes"],
             "dim": r["dim"],
             "fwd_ms": round(r["fwd_s"] * 1e3, 3),
-            "fwd_bwd_ms": round(r["fwdbwd_s"] * 1e3, 3),
-            "fwd_bwd_ratio": round(r["fwdbwd_s"] / r["fwd_s"], 2),
+            "fwd_bwd_ms": (round(r["fwdbwd_s"] * 1e3, 3)
+                           if r.get("fwdbwd_s") else None),
+            "fwd_bwd_ratio": (round(r["fwdbwd_s"] / r["fwd_s"], 2)
+                              if r.get("fwdbwd_s") else None),
             "fwd_gbps": round(fwd_gbps, 1),
             "nnz_per_s_G": round(r["nnz"] / r["fwd_s"] / 1e9, 3),
             "hbm_gbps": bw_gbps,

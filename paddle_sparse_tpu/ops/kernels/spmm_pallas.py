@@ -347,6 +347,101 @@ def spmm_csr_chunked(rowptr: jax.Array, row: jax.Array, col: jax.Array,
     return out.reshape(nblocks * CR, K)[:num_rows]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("num_rows", "rows_per_chunk",
+                                    "edge_capacity", "tile_rows",
+                                    "chunk_edges", "split", "interpret"))
+def spmm_sddmm_chunked(rowptr_t: jax.Array, row_t: jax.Array,
+                       col_t: jax.Array, value_t: jax.Array, g: jax.Array,
+                       x: jax.Array, num_rows: int, rows_per_chunk: int,
+                       edge_capacity: int, tile_rows: int = 128,
+                       chunk_edges: int = 2048, split: bool = True,
+                       interpret: bool = False):
+    """Fused SpMM backward over the CSC (A^T-as-CSR) structure: one pass
+    computing BOTH
+
+      d_x[c]    = sum_{e: col[e]=c} value[e] * g[row[e]]     (transpose SpMM)
+      dv_t[e']  = g[col_t[e']] . x[row_t[e']]                (SDDMM, CSC order)
+
+    sharing the expensive random gather ``g[col_t]`` between the two
+    (the separate formulation gathers three full (nnz, K) row streams; this
+    one gathers two, and the ``x[row_t]`` gather only touches the block's
+    own contiguous row range).  Returns ``(d_x, dv_t)`` with ``dv_t`` in
+    CSC edge order — callers scatter it back through the CSR->CSC
+    permutation.  Argument/chunking contract matches
+    :func:`spmm_csr_chunked` over the transpose structure.
+    """
+    R, E = tile_rows, chunk_edges
+    CR, EC = rows_per_chunk, edge_capacity
+    assert CR % R == 0 and EC % E == 0
+    T = CR // R
+    NCE = EC // E
+    nblocks = pl.cdiv(num_rows, CR)
+    M_pad_total = nblocks * CR
+    nnz = col_t.shape[0]
+    K = g.shape[1]
+
+    rowptr_t = rowptr_t.astype(jnp.int32)
+    rowptr_pad = jnp.concatenate(
+        [rowptr_t, jnp.full((M_pad_total + 1 - rowptr_t.shape[0],),
+                            nnz, jnp.int32)])
+    col_pad = jnp.concatenate(
+        [col_t.astype(jnp.int32), jnp.zeros((EC,), jnp.int32)])
+    row_pad = jnp.concatenate(
+        [row_t.astype(jnp.int32), jnp.zeros((EC,), jnp.int32)])
+    pdt = _product_dtype(value_t, g)
+    g_n = g.astype(pdt)
+    x_n = x.astype(pdt)
+    val_pad = jnp.concatenate(
+        [value_t.astype(pdt), jnp.zeros((EC,), pdt)])
+
+    row_off = jnp.arange(CR + 1, dtype=jnp.int32)
+
+    def block_fn(c):
+        r0 = c * CR
+        rp_l = jnp.take(rowptr_pad, r0 + row_off, mode="clip")
+        e0 = rp_l[0]
+        block_nnz = rp_l[CR] - e0
+        rp_l = jnp.clip(rp_l - e0, 0, EC)
+        bounds_start, bounds_end = _row_bounds(rp_l, T, R, EC)
+
+        cols_l = jax.lax.dynamic_slice(col_pad, (e0,), (EC,))
+        rows_l = jax.lax.dynamic_slice(row_pad, (e0,), (EC,))
+        vals_l = jax.lax.dynamic_slice(val_pad, (e0,), (EC,))
+        g_rows = jnp.take(g_n, cols_l, axis=0, mode="clip")  # shared gather
+        prod = g_rows * vals_l[:, None]
+
+        tp = rp_l[jnp.arange(T + 1, dtype=jnp.int32) * R]
+        items = _work_items_chunk_major(tp, NCE, T, E)
+        dx_c = _reduce_call(bounds_start, bounds_end, prod, items,
+                            T, R, E, K, split, interpret)[:CR]
+
+        # SDDMM share: x rows of this block only (row_t is sorted, so the
+        # window's rows live in [r0, r0+CR) — a contiguous x range)
+        x_rows = jnp.take(x_n, rows_l, axis=0, mode="clip")
+        dv_c = (g_rows.astype(jnp.float32)
+                * x_rows.astype(jnp.float32)).sum(axis=1)
+        del block_nnz  # window tails are masked by the caller's paste-back
+        return dx_c, dv_c
+
+    dx, dv = jax.lax.map(block_fn, jnp.arange(nblocks, dtype=jnp.int32))
+    d_x = dx.reshape(nblocks * CR, K)[:num_rows]
+
+    # paste per-block dv windows back into CSC edge order: window b covers
+    # absolute positions [rowptr_t[b*CR], +EC) but only its own
+    # block_nnz entries are valid (the window tail overlaps the next
+    # block); invalid slots route to the drop index so valid writes are
+    # unique
+    e0s = rowptr_pad[jnp.arange(nblocks + 1) * CR]
+    block_nnz = (e0s[1:] - e0s[:-1])[:, None]
+    pos = e0s[:-1, None] + jnp.arange(EC)[None, :]
+    flat_pos = jnp.where(jnp.arange(EC)[None, :] < block_nnz, pos,
+                         nnz).reshape(-1)
+    dv_t = jnp.zeros((nnz,), jnp.float32).at[flat_pos].set(
+        dv.reshape(-1), mode="drop")
+    return d_x, dv_t
+
+
 def sddmm_dot_chunked(row: jax.Array, col: jax.Array, g: jax.Array,
                       x: jax.Array, target_bytes: int = 512 * 1024 * 1024,
                       out_dtype=None) -> jax.Array:

@@ -201,22 +201,29 @@ def _spmm_chunked_fwd(plan, s, value, x):
 def _spmm_chunked_bwd(plan, res, g):
     import numpy as np
 
-    from .kernels.spmm_pallas import sddmm_dot_chunked, spmm_csr_chunked
+    from .kernels.spmm_pallas import spmm_csr_chunked, spmm_sddmm_chunked
     s, value, x = res
     if value is not None:
-        d_value = sddmm_dot_chunked(s.row, s.col, g, x,
-                                    out_dtype=value.dtype)
+        # fused pass over the CSC structure: d_x (transpose SpMM) and the
+        # SDDMM d_value share the random g[col_t] gather — two gathered
+        # streams instead of three (VERDICT r2 item 6)
         value_t = jnp.take(value, s.perm)
+        d_x, dv_t = spmm_sddmm_chunked(
+            s.rowptr_t, s.row_t, s.col_t, value_t, g, x,
+            num_rows=plan.num_cols, rows_per_chunk=plan.rows_per_chunk_t,
+            edge_capacity=plan.edge_capacity_t, interpret=plan.interpret)
+        # dv_t is in CSC edge order; scatter back through the permutation
+        d_value = jnp.zeros((value.shape[0],), jnp.float32).at[
+            s.perm].set(dv_t).astype(value.dtype)
     else:
         d_value = None
-        value_t = None
-    d_x = spmm_csr_chunked(s.rowptr_t, s.row_t, s.col_t, value_t, g,
-                           plan.num_cols, plan.rows_per_chunk_t,
-                           plan.edge_capacity_t,
-                           interpret=plan.interpret).astype(x.dtype)
+        d_x = spmm_csr_chunked(s.rowptr_t, s.row_t, s.col_t, None, g,
+                               plan.num_cols, plan.rows_per_chunk_t,
+                               plan.edge_capacity_t,
+                               interpret=plan.interpret)
     d_s = jax.tree_util.tree_map(
         lambda a: np.zeros(a.shape, jax.dtypes.float0), s)
-    return d_s, d_value, d_x
+    return d_s, d_value, d_x.astype(x.dtype)
 
 
 spmm_chunked.defvjp(_spmm_chunked_fwd, _spmm_chunked_bwd)

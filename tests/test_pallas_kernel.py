@@ -237,3 +237,30 @@ def test_bf16_stream_optin(monkeypatch):
     # to the largest output magnitude, not element-wise
     err = np.abs(np.asarray(out) - expected).max()
     assert err <= 2e-2 * np.abs(expected).max(), err
+
+
+def test_fused_backward_multiblock():
+    """spmm_sddmm_chunked: d_x and d_value in one CSC pass must match the
+    XLA-path gradients when the row space spans several chunks."""
+    import paddle_sparse_tpu.ops.spmm as spmm_mod
+    M, N, K, nnz = 520, 410, 64, 4200
+    row, col, rowptr = _graph(M, N, nnz)
+    val = rng.standard_normal(nnz).astype(np.float32)
+    x = rng.standard_normal((N, K)).astype(np.float32)
+    g = rng.standard_normal((M, K)).astype(np.float32)
+    plan, s = spmm_mod.make_spmm_plan(
+        jnp.asarray(row, jnp.int32), jnp.asarray(col, jnp.int32), M, N, K,
+        target_bytes=48 * 1024)   # forces several blocks both ways
+
+    def loss(v, xx):
+        return (spmm_mod.spmm_chunked(plan, s, v, xx) * g).sum()
+
+    dv, dx = jax.grad(loss, argnums=(0, 1))(jnp.asarray(val),
+                                            jnp.asarray(x))
+    want_dv = (g[row] * x[col]).sum(axis=1)
+    want_dx = np.zeros((N, K), np.float32)
+    np.add.at(want_dx, col, val[:, None] * g[row])
+    np.testing.assert_allclose(np.asarray(dv), want_dv, rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dx), want_dx, rtol=1e-4,
+                               atol=1e-4)
