@@ -66,10 +66,18 @@ def spspmm_padded(A: PaddedCOO, B: PaddedCOO, flop_capacity: int,
         prod = None
 
     # --- sort stream by output coordinate (pads (M, N) sort last) ------
-    perm = jnp.lexsort((out_col, out_row))
-    out_row, out_col = out_row[perm], out_col[perm]
+    # single composite-key sort_key_val instead of a two-key lexsort +
+    # two permutation gathers: the value rides along with the key and
+    # (row, col) are decoded arithmetically — one sort pass, zero
+    # scalar-gather passes (round-3 ESC tuning; scalar index ops are the
+    # most expensive primitive on this toolchain)
+    key = out_row.astype(jnp.int64) * (N + 1) + out_col.astype(jnp.int64)
     if prod is not None:
-        prod = prod[perm]
+        key, prod = jax.lax.sort_key_val(key, prod)
+    else:
+        key = jnp.sort(key)
+    out_row = (key // (N + 1)).astype(idx)
+    out_col = (key % (N + 1)).astype(idx)
     valid_t = out_row < M
 
     # --- compress: first-occurrence mask + segment-sum -----------------
