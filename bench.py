@@ -239,12 +239,15 @@ def measure(backend: str, scale: float, graph: str = "uniform",
     @functools.partial(jax.jit, static_argnames=("n",))
     def fwd_loop(s, value, x, n):
         def body(i, acc):
-            # chain iterations through a scalar so XLA can neither hoist
-            # the spmm out of the loop nor keep N result buffers alive;
-            # the carry is a FULL reduction (a scalar slice would let XLA
-            # DCE-slice through the gathers and fake the number)
+            # chain BOTH differentiated operands through the carry: XLA
+            # hoists loop-invariant gathers out of while bodies (measured
+            # r3 — an unchained x let `take(x, col)` run once instead of
+            # per iteration, faking up to 3x), and the carry is a FULL
+            # reduction (a scalar slice would let XLA DCE-slice through
+            # the gathers and fake the number)
             v = value + acc * 0.0
-            out = spmm_fn(s, v, x)
+            xx = x + acc * 0.0
+            out = spmm_fn(s, v, xx)
             return (jnp.sum(out) * 1e-12).astype(jnp.float32)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
@@ -255,7 +258,8 @@ def measure(backend: str, scale: float, graph: str = "uniform",
 
         def body(i, acc):
             v = value + acc * 0.0
-            l, (dv, dx) = jax.value_and_grad(loss, argnums=(0, 1))(v, x)
+            xx = x + acc * 0.0
+            l, (dv, dx) = jax.value_and_grad(loss, argnums=(0, 1))(v, xx)
             return ((jnp.sum(dv) + jnp.sum(dx) + l) * 1e-12).astype(
                 jnp.float32)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
@@ -347,10 +351,17 @@ def spgemm_probe():
     plan_s = time.perf_counter() - t0
     _log(f"spgemm: plan done ({plan_s:.1f}s, caps={flop_cap}/{out_cap})")
 
+    import dataclasses
+
     @functools.partial(jax.jit, static_argnames=("n",))
     def loop(A, n):
         def body(i, acc):
-            Ai = A.with_value(A.value + acc * 0.0)
+            # chain indices AND values through the carry: the ESC
+            # expansion + sort depend only on indices, which XLA would
+            # otherwise hoist out of the loop as loop-invariant
+            z = (acc * 0.0).astype(A.row.dtype)
+            Ai = dataclasses.replace(A, row=A.row + z, col=A.col + z,
+                                     value=A.value + acc * 0.0)
             res = spspmm_padded(Ai, Ai, flop_cap, out_cap)
             return (jnp.sum(res.matrix.value) * 1e-12
                     + res.matrix.nnz.astype(jnp.float32) * 0.0)
