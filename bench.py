@@ -187,17 +187,29 @@ def measure(backend: str, scale: float, graph: str = "uniform",
     _log(f"{backend}@{scale} {graph}: data ready "
          f"(nodes={num_nodes} nnz={nnz} K={dim})")
 
-    if backend == "pallas_bf16":
+    if backend.endswith("_bf16"):
         # bf16 product stream + bf16 gather reads, f32 accumulation
         # (explicit opt-in; default stays strict f32)
         os.environ["PSP_SPMM_STREAM"] = "bf16"
-        backend = "pallas"
+        backend = backend[:-len("_bf16")]
         stream = "bf16"
     else:
         stream = "f32"
 
     t_plan0 = time.perf_counter()
-    if backend == "sell":
+    if backend == "seg":
+        from paddle_sparse_tpu.ops.spmm_seg import (make_seg_plan,
+                                                    pack_values, spmm_seg)
+        plan, structure = make_seg_plan(row, col, num_nodes, num_nodes,
+                                        feat_dim=dim)
+        packed = pack_values(structure, value)
+        jax.block_until_ready((structure, packed))
+
+        def spmm_fn(s, v, xx):
+            return spmm_seg(plan, s, v, xx)
+
+        args = (structure, packed, x)
+    elif backend == "sell":
         from paddle_sparse_tpu.ops.spmm_sell import (make_sell_plan,
                                                      pad_values, spmm_sell)
         plan, structure = make_sell_plan(row, col, num_nodes, num_nodes,
