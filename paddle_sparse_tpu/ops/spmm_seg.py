@@ -36,8 +36,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .convert import ind2ptr
-
 SEG_ROWS = 1 << 17     # fast-gather source threshold (measured v5e)
 
 
