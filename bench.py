@@ -229,9 +229,9 @@ def measure(backend: str, scale: float, graph: str = "uniform",
         plan, structure = make_spmm_plan(row, col, num_nodes, num_nodes, dim)
         jax.block_until_ready(structure)
         if graph == "zipf":
-            capacity_blowup = round(
-                plan.edge_capacity
-                * (-(-plan.num_rows // plan.rows_per_chunk)) / nnz, 2)
+            nb = (plan.nblocks if plan.nblocks >= 0 else
+                  -(-plan.num_rows // plan.rows_per_chunk))
+            capacity_blowup = round(plan.edge_capacity * nb / nnz, 2)
 
         def spmm_fn(s, v, xx):
             return spmm_chunked(plan, s, v, xx)
@@ -318,7 +318,8 @@ def measure(backend: str, scale: float, graph: str = "uniform",
            "nodes": num_nodes, "dim": dim, "iters": iters,
            "plan_s": round(plan_s, 2),
            "fwd_compile_s": round(fwd_compile_s, 2),
-           "fwdbwd_compile_s": round(fwdbwd_compile_s, 2),
+           "fwdbwd_compile_s": (round(fwdbwd_compile_s, 2)
+                                if fwdbwd_compile_s is not None else None),
            "device_kind": jax.devices()[0].device_kind,
            "scale": scale, "graph": graph, "stream": stream}
     if capacity_blowup is not None:

@@ -241,6 +241,45 @@ def segment_rows_matmul(products: jax.Array, row: Optional[jax.Array],
     return out[:num_rows]
 
 
+def plan_edge_blocks(rowptr_host, feat_dim: int, value_bytes: int = 4,
+                     target_bytes: int = 512 * 1024 * 1024,
+                     tile_rows: int = 128, chunk_edges: int = 2048):
+    """Edge-balanced block plan: variable row spans, bounded edge count.
+
+    Greedily cuts the row space wherever the running edge count reaches
+    the per-block budget, so a power-law degree distribution cannot
+    inflate the max block (r3: equal-ROW blocks blew edge capacity ~20x
+    on a zipf graph whose top row held 64%% of all edges — combine with
+    long-row splitting so single rows stay under the budget).  Returns
+    ``(block_starts, rows_per_chunk, edge_capacity)``: an int32 numpy
+    array of nblocks+1 row cut points, the max span (tile-aligned,
+    static) and the max block edge count (chunk-aligned, static).
+    """
+    import numpy as np
+
+    def cdiv(a, b):
+        return -(-a // b)
+
+    ptr = np.asarray(rowptr_host, dtype=np.int64)
+    num_rows = int(ptr.shape[0]) - 1
+    nnz = int(ptr[-1])
+    budget = max(chunk_edges,
+                 target_bytes // max(1, feat_dim * value_bytes))
+    # cut before the row that would push a block past the budget
+    cuts = np.searchsorted(ptr, np.arange(1, cdiv(nnz, budget) + 1,
+                                          dtype=np.int64) * budget,
+                           side="left") - 1
+    starts = np.unique(np.concatenate(
+        [[0], np.clip(cuts, 1, num_rows), [num_rows]])).astype(np.int32)
+    spans = np.diff(starts)
+    edges = ptr[starts[1:]] - ptr[starts[:-1]]
+    CR = max(tile_rows,
+             cdiv(int(spans.max()), tile_rows) * tile_rows)
+    EC = max(chunk_edges,
+             cdiv(int(edges.max()), chunk_edges) * chunk_edges)
+    return starts, CR, EC
+
+
 def plan_row_chunks(rowptr_host, feat_dim: int, value_bytes: int = 4,
                     target_bytes: int = 512 * 1024 * 1024,
                     tile_rows: int = 128, chunk_edges: int = 2048):
@@ -277,13 +316,17 @@ def plan_row_chunks(rowptr_host, feat_dim: int, value_bytes: int = 4,
 @functools.partial(jax.jit,
                    static_argnames=("num_rows", "rows_per_chunk",
                                     "edge_capacity", "tile_rows",
-                                    "chunk_edges", "split", "interpret"))
+                                    "chunk_edges", "split", "interpret",
+                                    "nblocks"))
 def spmm_csr_chunked(rowptr: jax.Array, row: jax.Array, col: jax.Array,
                      value: Optional[jax.Array], x: jax.Array,
                      num_rows: int, rows_per_chunk: int, edge_capacity: int,
                      tile_rows: int = 128, chunk_edges: int = 2048,
                      split: bool = True,
-                     interpret: bool = False) -> jax.Array:
+                     interpret: bool = False,
+                     block_starts: Optional[jax.Array] = None,
+                     out_scatter: Optional[jax.Array] = None,
+                     nblocks: Optional[int] = None) -> jax.Array:
     """Memory-bounded fused SpMM: gather + scale + Pallas row reduction,
     processed in contiguous row blocks so the scaled product stream never
     exceeds ``edge_capacity * K * 4`` bytes of HBM (vs ``nnz * K * 4`` for
@@ -302,8 +345,9 @@ def spmm_csr_chunked(rowptr: jax.Array, row: jax.Array, col: jax.Array,
     assert CR % R == 0 and EC % E == 0
     T = CR // R
     NCE = EC // E
-    nblocks = pl.cdiv(num_rows, CR)
-    M_pad_total = nblocks * CR
+    if nblocks is None:
+        nblocks = pl.cdiv(num_rows, CR)
+    M_pad_total = max(nblocks * CR, num_rows)
     nnz = col.shape[0]
     K = x.shape[1]
 
@@ -322,11 +366,23 @@ def spmm_csr_chunked(rowptr: jax.Array, row: jax.Array, col: jax.Array,
 
     row_off = jnp.arange(CR + 1, dtype=jnp.int32)
 
+    if block_starts is not None:
+        bs = jnp.clip(block_starts.astype(jnp.int32), 0, M_pad_total)
+
     def block_fn(c):
-        r0 = c * CR
+        if block_starts is None:
+            r0 = c * CR
+            win_hi = jnp.int32(EC)
+        else:
+            # edge-balanced variable-span blocks: rows beyond this
+            # block's span get empty bound windows via the upper clip
+            r0 = bs[c]
+            win_hi = jnp.minimum(
+                jnp.take(rowptr_pad, bs[c + 1], mode="clip")
+                - jnp.take(rowptr_pad, r0, mode="clip"), EC)
         rp_l = jnp.take(rowptr_pad, r0 + row_off, mode="clip")
         e0 = rp_l[0]
-        rp_l = jnp.clip(rp_l - e0, 0, EC)
+        rp_l = jnp.clip(rp_l - e0, 0, win_hi)
         bounds_start, bounds_end = _row_bounds(rp_l, T, R, EC)
 
         cols_l = jax.lax.dynamic_slice(col_pad, (e0,), (EC,))
@@ -344,19 +400,28 @@ def spmm_csr_chunked(rowptr: jax.Array, row: jax.Array, col: jax.Array,
         return out_c[:CR]
 
     out = jax.lax.map(block_fn, jnp.arange(nblocks, dtype=jnp.int32))
-    return out.reshape(nblocks * CR, K)[:num_rows]
+    if block_starts is None:
+        return out.reshape(nblocks * CR, K)[:num_rows]
+    # disjoint spans: scatter each block's valid rows to its range
+    return jnp.zeros((num_rows + 1, K), out.dtype).at[
+        out_scatter].set(out.reshape(nblocks * CR, K),
+                         mode="drop")[:num_rows]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("num_rows", "rows_per_chunk",
                                     "edge_capacity", "tile_rows",
-                                    "chunk_edges", "split", "interpret"))
+                                    "chunk_edges", "split", "interpret",
+                                    "nblocks"))
 def spmm_sddmm_chunked(rowptr_t: jax.Array, row_t: jax.Array,
                        col_t: jax.Array, value_t: jax.Array, g: jax.Array,
                        x: jax.Array, num_rows: int, rows_per_chunk: int,
                        edge_capacity: int, tile_rows: int = 128,
                        chunk_edges: int = 2048, split: bool = True,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       block_starts: Optional[jax.Array] = None,
+                       out_scatter: Optional[jax.Array] = None,
+                       nblocks: Optional[int] = None):
     """Fused SpMM backward over the CSC (A^T-as-CSR) structure: one pass
     computing BOTH
 
@@ -376,8 +441,9 @@ def spmm_sddmm_chunked(rowptr_t: jax.Array, row_t: jax.Array,
     assert CR % R == 0 and EC % E == 0
     T = CR // R
     NCE = EC // E
-    nblocks = pl.cdiv(num_rows, CR)
-    M_pad_total = nblocks * CR
+    if nblocks is None:
+        nblocks = pl.cdiv(num_rows, CR)
+    M_pad_total = max(nblocks * CR, num_rows)
     nnz = col_t.shape[0]
     K = g.shape[1]
 
@@ -397,12 +463,22 @@ def spmm_sddmm_chunked(rowptr_t: jax.Array, row_t: jax.Array,
 
     row_off = jnp.arange(CR + 1, dtype=jnp.int32)
 
+    if block_starts is not None:
+        bs = jnp.clip(block_starts.astype(jnp.int32), 0, M_pad_total)
+
     def block_fn(c):
-        r0 = c * CR
+        if block_starts is None:
+            r0 = c * CR
+            win_hi = jnp.int32(EC)
+        else:
+            r0 = bs[c]
+            win_hi = jnp.minimum(
+                jnp.take(rowptr_pad, bs[c + 1], mode="clip")
+                - jnp.take(rowptr_pad, r0, mode="clip"), EC)
         rp_l = jnp.take(rowptr_pad, r0 + row_off, mode="clip")
         e0 = rp_l[0]
         block_nnz = rp_l[CR] - e0
-        rp_l = jnp.clip(rp_l - e0, 0, EC)
+        rp_l = jnp.clip(rp_l - e0, 0, win_hi)
         bounds_start, bounds_end = _row_bounds(rp_l, T, R, EC)
 
         cols_l = jax.lax.dynamic_slice(col_pad, (e0,), (EC,))
@@ -425,14 +501,22 @@ def spmm_sddmm_chunked(rowptr_t: jax.Array, row_t: jax.Array,
         return dx_c, dv_c
 
     dx, dv = jax.lax.map(block_fn, jnp.arange(nblocks, dtype=jnp.int32))
-    d_x = dx.reshape(nblocks * CR, K)[:num_rows]
+    if block_starts is None:
+        d_x = dx.reshape(nblocks * CR, K)[:num_rows]
+    else:
+        d_x = jnp.zeros((num_rows + 1, K), dx.dtype).at[
+            out_scatter].set(dx.reshape(nblocks * CR, K),
+                             mode="drop")[:num_rows]
 
     # paste per-block dv windows back into CSC edge order: window b covers
-    # absolute positions [rowptr_t[b*CR], +EC) but only its own
+    # absolute positions [rowptr_t[block_start], +EC) but only its own
     # block_nnz entries are valid (the window tail overlaps the next
     # block); invalid slots route to the drop index so valid writes are
     # unique
-    e0s = rowptr_pad[jnp.arange(nblocks + 1) * CR]
+    if block_starts is None:
+        e0s = rowptr_pad[jnp.arange(nblocks + 1) * CR]
+    else:
+        e0s = jnp.take(rowptr_pad, bs, mode="clip")
     block_nnz = (e0s[1:] - e0s[:-1])[:, None]
     pos = e0s[:-1, None] + jnp.arange(EC)[None, :]
     flat_pos = jnp.where(jnp.arange(EC)[None, :] < block_nnz, pos,

@@ -122,7 +122,14 @@ class SpmmStructure(NamedTuple):
     permutation for edge values.  Passed to jitted code as ARGUMENTS, never
     closed over: under remote-compile transports (axon tunnel) constants
     are serialized into the compile request, and a 124M-edge graph's index
-    arrays exceed the request size limit (HTTP 413)."""
+    arrays exceed the request size limit (HTTP 413).
+
+    ``rowptr``/``rowptr_t`` are PSEUDO-row pointers: rows longer than the
+    plan's split cap are cut into pseudo-rows (a pure refinement of the
+    pointer — the edge stream is untouched), bounding the chunk planner's
+    max-over-blocks capacity on power-law graphs (r2: a zipf graph
+    inflated edge capacity ~20x).  ``fold``/``fold_t`` map pseudo-rows
+    back to real rows for the cheap post-reduction."""
     rowptr: jax.Array
     row: jax.Array
     col: jax.Array
@@ -130,6 +137,12 @@ class SpmmStructure(NamedTuple):
     row_t: jax.Array
     col_t: jax.Array
     perm: jax.Array
+    fold: jax.Array      # (num_pseudo,) pseudo-row -> row
+    fold_t: jax.Array    # (num_pseudo_t,) pseudo-col -> col
+    bs: jax.Array        # (nblocks + 1,) edge-balanced block row starts
+    pos: jax.Array       # (nblocks * CR,) block-row -> pseudo-row scatter
+    bs_t: jax.Array
+    pos_t: jax.Array
 
 
 class SpmmPlan(NamedTuple):
@@ -140,6 +153,10 @@ class SpmmPlan(NamedTuple):
     edge_capacity: int
     rows_per_chunk_t: int
     edge_capacity_t: int
+    num_pseudo: int = -1       # -1 => equals num_rows (no splitting)
+    num_pseudo_t: int = -1
+    nblocks: int = -1
+    nblocks_t: int = -1
     interpret: bool = False
 
 
@@ -157,27 +174,100 @@ def _spmm_structure(row, col, *, num_rows: int, num_cols: int):
     return rowptr, perm, row_t, col_t, colptr
 
 
+def _split_long_rows(rowptr_np, cap: int):
+    """Refine a CSR pointer so no (pseudo-)row exceeds ``cap`` edges.
+
+    Pure pointer refinement — the edge stream is untouched.  Returns
+    ``(rowptr_pseudo, fold)`` with ``fold[p]`` the real row of pseudo-row
+    ``p``; identity (``None`` fold) when nothing was split."""
+    import numpy as np
+    deg = np.diff(rowptr_np)
+    splits = np.maximum(1, -(-deg // cap))
+    P = int(splits.sum())
+    M = deg.shape[0]
+    if P == M:
+        return rowptr_np, None
+    fold = np.repeat(np.arange(M, dtype=np.int64), splits)
+    starts = np.concatenate([[0], np.cumsum(splits)[:-1]])
+    k = np.arange(P, dtype=np.int64) - starts[fold]
+    ptr = np.minimum(rowptr_np[fold] + k * cap, rowptr_np[fold + 1])
+    return (np.concatenate([ptr, rowptr_np[-1:]]),
+            fold.astype(np.int32))
+
+
 def make_spmm_plan(row, col, num_rows: int, num_cols: int, feat_dim: int,
                    target_bytes: int = 512 * 1024 * 1024):
     """Host-side setup for large-scale SpMM: builds the CSC permutation and
     chunk plans once per sparse structure (eager; requires concrete
-    indices).  Returns ``(plan, structure)`` for :func:`spmm_chunked`."""
+    indices).  Returns ``(plan, structure)`` for :func:`spmm_chunked`.
+
+    Power-law degree distributions are tamed by long-row splitting
+    (:func:`_split_long_rows`) BEFORE chunk planning, so the planner's
+    max-over-blocks edge capacity stays near the mean."""
     import numpy as np
 
-    from .kernels.spmm_pallas import plan_row_chunks
+    from .kernels.spmm_pallas import plan_edge_blocks
 
     row = jnp.asarray(row)
     col = jnp.asarray(col)
     rowptr, perm, row_t, col_t, colptr = _spmm_structure(
         row, col, num_rows=num_rows, num_cols=num_cols)
-    CR, EC, _ = plan_row_chunks(np.asarray(rowptr), feat_dim,
-                                target_bytes=target_bytes)
-    CRT, ECT, _ = plan_row_chunks(np.asarray(colptr), feat_dim,
-                                  target_bytes=target_bytes)
+    # split cap: a fraction of the per-block edge budget so one hot row
+    # cannot dominate a block
+    budget_edges = max(2048, target_bytes // (feat_dim * 4))
+    cap = max(2048, budget_edges // 16)
+    rp_np, fold = _split_long_rows(np.asarray(rowptr, np.int64), cap)
+    cp_np, fold_t = _split_long_rows(np.asarray(colptr, np.int64), cap)
+    bs_np, CR, EC = plan_edge_blocks(rp_np, feat_dim,
+                                     target_bytes=target_bytes)
+    bs_t_np, CRT, ECT = plan_edge_blocks(cp_np, feat_dim,
+                                         target_bytes=target_bytes)
     interpret = jax.default_backend() == "cpu"
-    plan = SpmmPlan(num_rows, num_cols, CR, EC, CRT, ECT, interpret)
-    structure = SpmmStructure(rowptr, row, col, colptr, row_t, col_t, perm)
+    num_pseudo = int(rp_np.shape[0]) - 1
+    num_pseudo_t = int(cp_np.shape[0]) - 1
+    plan = SpmmPlan(num_rows, num_cols, CR, EC, CRT, ECT,
+                    num_pseudo=num_pseudo, num_pseudo_t=num_pseudo_t,
+                    nblocks=int(bs_np.shape[0]) - 1,
+                    nblocks_t=int(bs_t_np.shape[0]) - 1,
+                    interpret=interpret)
+    idx = jnp.int32
+
+    def scatter_pos(bs, CRv, P):
+        nb = bs.shape[0] - 1
+        i = np.arange(nb * CRv, dtype=np.int64)
+        b = i // CRv
+        off = i - b * CRv
+        pos = bs[b].astype(np.int64) + off
+        pos = np.where(off < (bs[b + 1] - bs[b]), pos, P + 1)
+        return pos.astype(np.int32)
+
+    structure = SpmmStructure(
+        jnp.asarray(rp_np, idx), row, col, jnp.asarray(cp_np, idx),
+        row_t, col_t, perm,
+        fold=(jnp.asarray(fold) if fold is not None
+              else jnp.zeros((0,), idx)),
+        fold_t=(jnp.asarray(fold_t) if fold_t is not None
+                else jnp.zeros((0,), idx)),
+        bs=jnp.asarray(bs_np, idx),
+        pos=jnp.asarray(scatter_pos(bs_np, CR, num_pseudo), idx),
+        bs_t=jnp.asarray(bs_t_np, idx),
+        pos_t=jnp.asarray(scatter_pos(bs_t_np, CRT, num_pseudo_t), idx))
     return plan, structure
+
+
+def _pseudo_rows(plan: SpmmPlan, transpose: bool) -> int:
+    if transpose:
+        return (plan.num_pseudo_t if plan.num_pseudo_t >= 0
+                else plan.num_cols)
+    return plan.num_pseudo if plan.num_pseudo >= 0 else plan.num_rows
+
+
+def _fold_rows(out, fold, num_rows: int):
+    """Collapse split pseudo-rows back to real rows (sorted segments)."""
+    if int(out.shape[0]) == num_rows:
+        return out
+    return jax.ops.segment_sum(out, fold, num_segments=num_rows,
+                               indices_are_sorted=True)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -189,8 +279,12 @@ def spmm_chunked(plan: SpmmPlan, s: SpmmStructure,
     a chunked SDDMM."""
     from .kernels.spmm_pallas import spmm_csr_chunked
     out = spmm_csr_chunked(s.rowptr, s.row, s.col, value, x,
-                           plan.num_rows, plan.rows_per_chunk,
-                           plan.edge_capacity, interpret=plan.interpret)
+                           _pseudo_rows(plan, False),
+                           plan.rows_per_chunk,
+                           plan.edge_capacity, interpret=plan.interpret,
+                           block_starts=s.bs, out_scatter=s.pos,
+                           nblocks=plan.nblocks)
+    out = _fold_rows(out, s.fold, plan.num_rows)
     return out.astype(x.dtype)  # uniform dtype contract (ADVICE r1)
 
 
@@ -210,17 +304,24 @@ def _spmm_chunked_bwd(plan, res, g):
         value_t = jnp.take(value, s.perm)
         d_x, dv_t = spmm_sddmm_chunked(
             s.rowptr_t, s.row_t, s.col_t, value_t, g, x,
-            num_rows=plan.num_cols, rows_per_chunk=plan.rows_per_chunk_t,
-            edge_capacity=plan.edge_capacity_t, interpret=plan.interpret)
+            num_rows=_pseudo_rows(plan, True),
+            rows_per_chunk=plan.rows_per_chunk_t,
+            edge_capacity=plan.edge_capacity_t, interpret=plan.interpret,
+            block_starts=s.bs_t, out_scatter=s.pos_t,
+            nblocks=plan.nblocks_t)
         # dv_t is in CSC edge order; scatter back through the permutation
         d_value = jnp.zeros((value.shape[0],), jnp.float32).at[
             s.perm].set(dv_t).astype(value.dtype)
     else:
         d_value = None
         d_x = spmm_csr_chunked(s.rowptr_t, s.row_t, s.col_t, None, g,
-                               plan.num_cols, plan.rows_per_chunk_t,
+                               _pseudo_rows(plan, True),
+                               plan.rows_per_chunk_t,
                                plan.edge_capacity_t,
-                               interpret=plan.interpret)
+                               interpret=plan.interpret,
+                               block_starts=s.bs_t, out_scatter=s.pos_t,
+                               nblocks=plan.nblocks_t)
+    d_x = _fold_rows(d_x, s.fold_t, plan.num_cols)
     d_s = jax.tree_util.tree_map(
         lambda a: np.zeros(a.shape, jax.dtypes.float0), s)
     return d_s, d_value, d_x.astype(x.dtype)
