@@ -444,14 +444,15 @@ def roofline_bytes(nnz, num_nodes, dim):
 
 
 def run_probe(backend: str, scale: float, timeout_s: float,
-              graph: str = "uniform"):
+              graph: str = "uniform", extra_env: dict = None):
     """Run one probe in a subprocess; return (result_dict_or_None, err).
     On timeout the stderr tail (phase telemetry) is still recorded."""
     argv = [sys.executable, os.path.abspath(__file__), "--probe",
             backend, str(scale)]
     if graph != "uniform":
         argv.append(graph)
-    env = dict(os.environ, BENCH_PROBE_DEADLINE=str(timeout_s))
+    env = dict(os.environ, BENCH_PROBE_DEADLINE=str(timeout_s),
+               **(extra_env or {}))
     try:
         # soft limit via the probe's own deadline; the hard kill (which
         # leaves orphaned work wedging the remote device) only fires with
@@ -541,6 +542,7 @@ def main():
     want_oracle = not forced and os.environ.get("BENCH_XLA", "1") != "0"
     spmm_budget = deadline - time.monotonic() - (
         150 if os.environ.get("BENCH_POWERLAW", "1") != "0" else 10) - (
+        150 if os.environ.get("BENCH_DIM64", "1") != "0" else 0) - (
         300 if want_oracle else 0)
     spmm_budget = max(spmm_budget, 120.0)
 
@@ -578,6 +580,22 @@ def main():
                      "frac": round(frac_of(r), 4),
                      "capacity_blowup": r.get("capacity_blowup")}
                     if r is not None else {"error": err})
+
+    # --- K=64 regime (BASELINE.md row 2 names dense dim 64 and 256) ---
+    dim64 = None
+    if os.environ.get("BENCH_DIM64", "1") != "0" and results and \
+            deadline - time.monotonic() > (300 if want_oracle else 0) + 90:
+        best_backend = max(
+            results, key=lambda b: max(frac_of(r) for r in results[b]))
+        r, err = run_probe(
+            best_backend, 0.125,
+            min(200.0, deadline - time.monotonic()
+                - (300 if want_oracle else 5)),
+            extra_env={"BENCH_DIM": "64"})
+        dim64 = ({"backend": best_backend,
+                  "fwd_ms": round(r["fwd_s"] * 1e3, 2),
+                  "frac": round(frac_of(r), 4), "nnz": r["nnz"]}
+                 if r is not None else {"error": err})
 
     # --- XLA oracle last (uninterruptible compile; see XLA_ORACLE_SCALE) --
     if want_oracle:
@@ -653,6 +671,7 @@ def main():
                           "bwd": r.get("fwdbwd_compile_s")},
             "probes": probe_log,
             "powerlaw": powerlaw,
+            "dim64": dim64,
             "scaling": scaling,
             "spgemm": spgemm,
         },
