@@ -67,8 +67,8 @@ HBM_GBPS = {
 # available via BENCH_BACKEND=sell / backend="sell").  xla is last: its
 # segment-sum compile alone exceeds most slices on this toolchain.
 PROBE_PLAN = (
-    ("pallas_bf16", (0.125, 1.0), 0.55),
-    ("pallas", (0.125,), 0.45),
+    ("pallas_bf16", (0.125, 1.0), 0.70),
+    ("pallas", (0.0625,), 0.30),
 )
 # the XLA oracle runs LAST with whatever budget remains: its segment-sum
 # compile alone takes ~6 min on this toolchain and cannot be interrupted
@@ -541,9 +541,9 @@ def main():
         plan = ((forced, scales, 1.0),)
     want_oracle = not forced and os.environ.get("BENCH_XLA", "1") != "0"
     spmm_budget = deadline - time.monotonic() - (
-        150 if os.environ.get("BENCH_POWERLAW", "1") != "0" else 10) - (
-        150 if os.environ.get("BENCH_DIM64", "1") != "0" else 0) - (
-        300 if want_oracle else 0)
+        200 if os.environ.get("BENCH_POWERLAW", "1") != "0" else 10) - (
+        100 if os.environ.get("BENCH_DIM64", "1") != "0" else 0) - (
+        280 if want_oracle else 0)
     spmm_budget = max(spmm_budget, 120.0)
 
     results = {}   # backend -> list of successful probe dicts
@@ -572,8 +572,8 @@ def main():
         best_backend = max(
             results, key=lambda b: max(frac_of(r) for r in results[b]))
         r, err = run_probe(best_backend, 0.125,
-                           min(200.0, max(60.0, deadline - time.monotonic()
-                                          - (300 if want_oracle else 5))),
+                           min(300.0, max(60.0, deadline - time.monotonic()
+                                          - (280 if want_oracle else 5))),
                            graph="zipf")
         powerlaw = ({"backend": best_backend,
                      "fwd_ms": round(r["fwd_s"] * 1e3, 2),
