@@ -412,7 +412,7 @@ def spmm_csr_chunked(rowptr: jax.Array, row: jax.Array, col: jax.Array,
                    static_argnames=("num_rows", "rows_per_chunk",
                                     "edge_capacity", "tile_rows",
                                     "chunk_edges", "split", "interpret",
-                                    "nblocks"))
+                                    "nblocks", "raw_windows"))
 def spmm_sddmm_chunked(rowptr_t: jax.Array, row_t: jax.Array,
                        col_t: jax.Array, value_t: jax.Array, g: jax.Array,
                        x: jax.Array, num_rows: int, rows_per_chunk: int,
@@ -421,7 +421,8 @@ def spmm_sddmm_chunked(rowptr_t: jax.Array, row_t: jax.Array,
                        interpret: bool = False,
                        block_starts: Optional[jax.Array] = None,
                        out_scatter: Optional[jax.Array] = None,
-                       nblocks: Optional[int] = None):
+                       nblocks: Optional[int] = None,
+                       raw_windows: bool = False):
     """Fused SpMM backward over the CSC (A^T-as-CSR) structure: one pass
     computing BOTH
 
@@ -507,6 +508,11 @@ def spmm_sddmm_chunked(rowptr_t: jax.Array, row_t: jax.Array,
         d_x = jnp.zeros((num_rows + 1, K), dx.dtype).at[
             out_scatter].set(dx.reshape(nblocks * CR, K),
                              mode="drop")[:num_rows]
+    if raw_windows:
+        # caller composes the window->edge mapping at plan time and reads
+        # dv with ONE gather instead of two scalar scatter passes; garbage
+        # in window tails is never addressed
+        return d_x, dv.reshape(-1)
 
     # paste per-block dv windows back into CSC edge order: window b covers
     # absolute positions [rowptr_t[block_start], +EC) but only its own

@@ -143,6 +143,7 @@ class SpmmStructure(NamedTuple):
     pos: jax.Array       # (nblocks * CR,) block-row -> pseudo-row scatter
     bs_t: jax.Array
     pos_t: jax.Array
+    dv_map: jax.Array    # (nnz,) COO edge -> backward dv-window slot
 
 
 class SpmmPlan(NamedTuple):
@@ -251,8 +252,26 @@ def make_spmm_plan(row, col, num_rows: int, num_cols: int, feat_dim: int,
         bs=jnp.asarray(bs_np, idx),
         pos=jnp.asarray(scatter_pos(bs_np, CR, num_pseudo), idx),
         bs_t=jnp.asarray(bs_t_np, idx),
-        pos_t=jnp.asarray(scatter_pos(bs_t_np, CRT, num_pseudo_t), idx))
+        pos_t=jnp.asarray(scatter_pos(bs_t_np, CRT, num_pseudo_t), idx),
+        dv_map=jnp.asarray(
+            _dv_window_map(np.asarray(cp_np, np.int64), bs_t_np, ECT,
+                           np.asarray(perm, np.int64)), idx))
     return plan, structure
+
+
+def _dv_window_map(colptr_np, bs_t_np, ECT: int, perm_np):
+    """(nnz,) COO edge -> flat slot in the backward pass's stacked dv
+    windows, composed at plan time so d_value is ONE gather (the scatter
+    formulation cost two full scalar passes per step)."""
+    import numpy as np
+    nnz = perm_np.shape[0]
+    e0s = colptr_np[bs_t_np.astype(np.int64)]          # window starts
+    i = np.arange(nnz, dtype=np.int64)                 # CSC positions
+    b = np.searchsorted(e0s, i, side="right") - 1
+    flat_of_csc = b * ECT + (i - e0s[b])
+    inv = np.empty(nnz, np.int64)
+    inv[perm_np] = i
+    return flat_of_csc[inv]
 
 
 def _pseudo_rows(plan: SpmmPlan, transpose: bool) -> int:
@@ -302,16 +321,16 @@ def _spmm_chunked_bwd(plan, res, g):
         # SDDMM d_value share the random g[col_t] gather — two gathered
         # streams instead of three (VERDICT r2 item 6)
         value_t = jnp.take(value, s.perm)
-        d_x, dv_t = spmm_sddmm_chunked(
+        d_x, dv_stack = spmm_sddmm_chunked(
             s.rowptr_t, s.row_t, s.col_t, value_t, g, x,
             num_rows=_pseudo_rows(plan, True),
             rows_per_chunk=plan.rows_per_chunk_t,
             edge_capacity=plan.edge_capacity_t, interpret=plan.interpret,
             block_starts=s.bs_t, out_scatter=s.pos_t,
-            nblocks=plan.nblocks_t)
-        # dv_t is in CSC edge order; scatter back through the permutation
-        d_value = jnp.zeros((value.shape[0],), jnp.float32).at[
-            s.perm].set(dv_t).astype(value.dtype)
+            nblocks=plan.nblocks_t, raw_windows=True)
+        # one precomposed gather from the stacked windows to COO order
+        d_value = jnp.take(dv_stack, s.dv_map,
+                           mode="clip").astype(value.dtype)
     else:
         d_value = None
         d_x = spmm_csr_chunked(s.rowptr_t, s.row_t, s.col_t, None, g,
