@@ -70,14 +70,37 @@ def spspmm_padded(A: PaddedCOO, B: PaddedCOO, flop_capacity: int,
     # two permutation gathers: the value rides along with the key and
     # (row, col) are decoded arithmetically — one sort pass, zero
     # scalar-gather passes (round-3 ESC tuning; scalar index ops are the
-    # most expensive primitive on this toolchain)
-    key = out_row.astype(jnp.int64) * (N + 1) + out_col.astype(jnp.int64)
-    if prod is not None:
-        key, prod = jax.lax.sort_key_val(key, prod)
+    # most expensive primitive on this toolchain).
+    #
+    # Key-range guard (ADVICE r3, high): with jax_enable_x64 off (the
+    # production default) an astype(int64) silently demotes to int32 and
+    # M*(N+1)+N can wrap negative — pads stop sorting last and the
+    # decoded coordinates are garbage.  The composite key is only legal
+    # when the full range fits the dtype that will actually be used;
+    # otherwise fall back to a two-key lexicographic lax.sort (one fused
+    # sort pass, no decode arithmetic).
+    key_max = M * (N + 1) + N
+    # int64 canonicalizes to int32 when x64 is off — that narrowed dtype
+    # is what the arithmetic below would actually run in
+    key_dtype = jax.dtypes.canonicalize_dtype(jnp.int64)
+    if key_max <= jnp.iinfo(jnp.int32).max:
+        key_dtype = jnp.int32
+    if key_max <= jnp.iinfo(key_dtype).max:
+        key = (out_row.astype(key_dtype) * (N + 1)
+               + out_col.astype(key_dtype))
+        if prod is not None:
+            key, prod = jax.lax.sort_key_val(key, prod)
+        else:
+            key = jnp.sort(key)
+        out_row = (key // (N + 1)).astype(idx)
+        out_col = (key % (N + 1)).astype(idx)
     else:
-        key = jnp.sort(key)
-    out_row = (key // (N + 1)).astype(idx)
-    out_col = (key % (N + 1)).astype(idx)
+        if prod is not None:
+            out_row, out_col, prod = jax.lax.sort(
+                (out_row, out_col, prod), num_keys=2)
+        else:
+            out_row, out_col = jax.lax.sort((out_row, out_col),
+                                            num_keys=2)
     valid_t = out_row < M
 
     # --- compress: first-occurrence mask + segment-sum -----------------

@@ -162,11 +162,23 @@ def _stream_env():
     return os.environ.get("PSP_SPMM_STREAM", "f32")
 
 
-def _product_dtype(value, x):
+# Read ONCE at import: jit caches are not keyed on the environment, so a
+# mid-process flip of PSP_SPMM_STREAM must not change traced behavior
+# (ADVICE r3, medium).  Callers that want a per-structure choice thread an
+# explicit ``stream`` through the plan (``SpmmPlan.stream``) instead.
+_STREAM_DEFAULT = _stream_env()
+
+
+def _product_dtype(value, x, stream: Optional[str] = None):
     """Product-stream dtype: bf16 when BOTH operands are bf16 (an f32
     value paired with bf16 x must not silently drop to bf16 — ADVICE r1)
-    OR when ``PSP_SPMM_STREAM=bf16`` opts in explicitly; everything else
-    runs the f32 hi/lo-split path.
+    OR when ``stream == "bf16"`` opts in explicitly; everything else runs
+    the f32 hi/lo-split path.
+
+    ``stream=None`` falls back to the process-start value of
+    ``PSP_SPMM_STREAM`` (read once at import — flipping the env var after
+    import does not retrace; pass ``stream`` explicitly for a per-call
+    choice).
 
     The opt-in halves the dominant HBM terms (the random x-row gather and
     the product-stream round trip) at ~3 decimal digits of per-element
@@ -177,7 +189,7 @@ def _product_dtype(value, x):
                                                              x.dtype)
     if common == jnp.bfloat16:
         return jnp.bfloat16
-    if common == jnp.float32 and _stream_env() == "bf16":
+    if common == jnp.float32 and (stream or _STREAM_DEFAULT) == "bf16":
         return jnp.bfloat16
     return jnp.float32
 
@@ -317,7 +329,7 @@ def plan_row_chunks(rowptr_host, feat_dim: int, value_bytes: int = 4,
                    static_argnames=("num_rows", "rows_per_chunk",
                                     "edge_capacity", "tile_rows",
                                     "chunk_edges", "split", "interpret",
-                                    "nblocks"))
+                                    "nblocks", "stream"))
 def spmm_csr_chunked(rowptr: jax.Array, row: jax.Array, col: jax.Array,
                      value: Optional[jax.Array], x: jax.Array,
                      num_rows: int, rows_per_chunk: int, edge_capacity: int,
@@ -326,7 +338,8 @@ def spmm_csr_chunked(rowptr: jax.Array, row: jax.Array, col: jax.Array,
                      interpret: bool = False,
                      block_starts: Optional[jax.Array] = None,
                      out_scatter: Optional[jax.Array] = None,
-                     nblocks: Optional[int] = None) -> jax.Array:
+                     nblocks: Optional[int] = None,
+                     stream: Optional[str] = None) -> jax.Array:
     """Memory-bounded fused SpMM: gather + scale + Pallas row reduction,
     processed in contiguous row blocks so the scaled product stream never
     exceeds ``edge_capacity * K * 4`` bytes of HBM (vs ``nnz * K * 4`` for
@@ -357,7 +370,7 @@ def spmm_csr_chunked(rowptr: jax.Array, row: jax.Array, col: jax.Array,
                           nnz, jnp.int32)])
     col_pad = jnp.concatenate(
         [col.astype(jnp.int32), jnp.zeros((EC,), jnp.int32)])
-    pdt = _product_dtype(value, x)
+    pdt = _product_dtype(value, x, stream)
     x32 = x.astype(pdt)
     val_pad = None
     if value is not None:
@@ -412,7 +425,7 @@ def spmm_csr_chunked(rowptr: jax.Array, row: jax.Array, col: jax.Array,
                    static_argnames=("num_rows", "rows_per_chunk",
                                     "edge_capacity", "tile_rows",
                                     "chunk_edges", "split", "interpret",
-                                    "nblocks", "raw_windows"))
+                                    "nblocks", "raw_windows", "stream"))
 def spmm_sddmm_chunked(rowptr_t: jax.Array, row_t: jax.Array,
                        col_t: jax.Array, value_t: jax.Array, g: jax.Array,
                        x: jax.Array, num_rows: int, rows_per_chunk: int,
@@ -422,7 +435,8 @@ def spmm_sddmm_chunked(rowptr_t: jax.Array, row_t: jax.Array,
                        block_starts: Optional[jax.Array] = None,
                        out_scatter: Optional[jax.Array] = None,
                        nblocks: Optional[int] = None,
-                       raw_windows: bool = False):
+                       raw_windows: bool = False,
+                       stream: Optional[str] = None):
     """Fused SpMM backward over the CSC (A^T-as-CSR) structure: one pass
     computing BOTH
 
@@ -456,7 +470,7 @@ def spmm_sddmm_chunked(rowptr_t: jax.Array, row_t: jax.Array,
         [col_t.astype(jnp.int32), jnp.zeros((EC,), jnp.int32)])
     row_pad = jnp.concatenate(
         [row_t.astype(jnp.int32), jnp.zeros((EC,), jnp.int32)])
-    pdt = _product_dtype(value_t, g)
+    pdt = _product_dtype(value_t, g, stream)
     g_n = g.astype(pdt)
     x_n = x.astype(pdt)
     val_pad = jnp.concatenate(

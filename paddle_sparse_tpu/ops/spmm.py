@@ -159,6 +159,11 @@ class SpmmPlan(NamedTuple):
     nblocks: int = -1
     nblocks_t: int = -1
     interpret: bool = False
+    # product-stream dtype choice, snapshotted from PSP_SPMM_STREAM at
+    # plan-build time and threaded through as a static jit arg so the
+    # compiled executable is keyed on it (ADVICE r3, medium: a trace-time
+    # env read left stale choices in the jit cache)
+    stream: str = "f32"
 
 
 @functools.partial(jax.jit, static_argnames=("num_rows", "num_cols"))
@@ -226,11 +231,12 @@ def make_spmm_plan(row, col, num_rows: int, num_cols: int, feat_dim: int,
     interpret = jax.default_backend() == "cpu"
     num_pseudo = int(rp_np.shape[0]) - 1
     num_pseudo_t = int(cp_np.shape[0]) - 1
+    from .kernels.spmm_pallas import _stream_env
     plan = SpmmPlan(num_rows, num_cols, CR, EC, CRT, ECT,
                     num_pseudo=num_pseudo, num_pseudo_t=num_pseudo_t,
                     nblocks=int(bs_np.shape[0]) - 1,
                     nblocks_t=int(bs_t_np.shape[0]) - 1,
-                    interpret=interpret)
+                    interpret=interpret, stream=_stream_env())
     idx = jnp.int32
 
     def scatter_pos(bs, CRv, P):
@@ -302,7 +308,7 @@ def spmm_chunked(plan: SpmmPlan, s: SpmmStructure,
                            plan.rows_per_chunk,
                            plan.edge_capacity, interpret=plan.interpret,
                            block_starts=s.bs, out_scatter=s.pos,
-                           nblocks=plan.nblocks)
+                           nblocks=plan.nblocks, stream=plan.stream)
     out = _fold_rows(out, s.fold, plan.num_rows)
     return out.astype(x.dtype)  # uniform dtype contract (ADVICE r1)
 
@@ -327,7 +333,7 @@ def _spmm_chunked_bwd(plan, res, g):
             rows_per_chunk=plan.rows_per_chunk_t,
             edge_capacity=plan.edge_capacity_t, interpret=plan.interpret,
             block_starts=s.bs_t, out_scatter=s.pos_t,
-            nblocks=plan.nblocks_t, raw_windows=True)
+            nblocks=plan.nblocks_t, raw_windows=True, stream=plan.stream)
         # one precomposed gather from the stacked windows to COO order
         d_value = jnp.take(dv_stack, s.dv_map,
                            mode="clip").astype(value.dtype)
@@ -339,7 +345,7 @@ def _spmm_chunked_bwd(plan, res, g):
                                plan.edge_capacity_t,
                                interpret=plan.interpret,
                                block_starts=s.bs_t, out_scatter=s.pos_t,
-                               nblocks=plan.nblocks_t)
+                               nblocks=plan.nblocks_t, stream=plan.stream)
     d_x = _fold_rows(d_x, s.fold_t, plan.num_cols)
     d_s = jax.tree_util.tree_map(
         lambda a: np.zeros(a.shape, jax.dtypes.float0), s)
@@ -357,40 +363,54 @@ _SELL_CACHE = {}
 
 
 def _cached_spmm_plan(row, col, num_rows: int, num_cols: int,
-                      feat_dim: int):
+                      feat_dim: int, key_row=None, key_col=None):
+    """Plan cache keyed on the CALLER'S index objects.
+
+    ``key_row``/``key_col`` default to ``row``/``col`` but callers that
+    convert inputs first (``spmm_coo`` runs ``jnp.asarray`` before
+    dispatch) pass the pre-conversion objects — otherwise a numpy/list
+    input mints a fresh jax array (new ``id``) per call and the full plan
+    build reruns on every eager invocation (ADVICE r3, medium).  Mutating
+    a cached numpy index array in place yields a stale plan; reconstruct
+    the array instead."""
     import weakref
-    key = (id(col), feat_dim)
+    key_row = row if key_row is None else key_row
+    key_col = col if key_col is None else key_col
+    key = (id(key_col), feat_dim)
     ent = _SPMM_PLAN_CACHE.get(key)
-    if (ent is not None and ent[0]() is col and ent[1]() is row
+    if (ent is not None and ent[0]() is key_col and ent[1]() is key_row
             and ent[2] == (num_rows, num_cols)):
         return ent[3], ent[4]
     plan, structure = make_spmm_plan(row, col, num_rows, num_cols,
                                      feat_dim)
     try:
         _SPMM_PLAN_CACHE[key] = (
-            weakref.ref(col, lambda _: _SPMM_PLAN_CACHE.pop(key, None)),
-            weakref.ref(row), (num_rows, num_cols), plan, structure)
+            weakref.ref(key_col,
+                        lambda _: _SPMM_PLAN_CACHE.pop(key, None)),
+            weakref.ref(key_row), (num_rows, num_cols), plan, structure)
     except TypeError:       # unweakrefable index type (e.g. np scalar)
         pass
     return plan, structure
 
 
 def _cached_sell_plan(row, col, num_rows: int, num_cols: int,
-                      feat_dim: int):
+                      feat_dim: int, key_row=None, key_col=None):
     import weakref
 
     from .spmm_sell import make_sell_plan
-    key = id(col)
+    key_row = row if key_row is None else key_row
+    key_col = col if key_col is None else key_col
+    key = id(key_col)
     ent = _SELL_CACHE.get(key)
-    if (ent is not None and ent[0]() is col and ent[1]() is row
+    if (ent is not None and ent[0]() is key_col and ent[1]() is key_row
             and ent[2] == (num_rows, num_cols)):
         return ent[3], ent[4]
     plan, structure = make_sell_plan(row, col, num_rows, num_cols,
                                      feat_dim=feat_dim)
     try:
         _SELL_CACHE[key] = (
-            weakref.ref(col, lambda _: _SELL_CACHE.pop(key, None)),
-            weakref.ref(row), (num_rows, num_cols), plan, structure)
+            weakref.ref(key_col, lambda _: _SELL_CACHE.pop(key, None)),
+            weakref.ref(key_row), (num_rows, num_cols), plan, structure)
     except TypeError:       # unweakrefable index type (e.g. np scalar)
         pass
     return plan, structure
@@ -420,6 +440,7 @@ def spmm_coo(row: jax.Array, col: jax.Array, value: Optional[jax.Array],
     """
     concrete = not (isinstance(row, jax.core.Tracer)
                     or isinstance(col, jax.core.Tracer))
+    row_in, col_in = row, col   # pre-asarray objects: plan-cache keys
     row = jnp.asarray(row)
     col = jnp.asarray(col)
 
@@ -435,7 +456,9 @@ def spmm_coo(row: jax.Array, col: jax.Array, value: Optional[jax.Array],
             value = jnp.asarray(value)
         plan, structure = _cached_sell_plan(row, col, num_rows,
                                             int(x.shape[0]),
-                                            int(x.shape[-1]))
+                                            int(x.shape[-1]),
+                                            key_row=row_in,
+                                            key_col=col_in)
         return spmm_sell(plan, structure, value, x)
 
     use_pallas = (backend == "pallas"
@@ -454,7 +477,9 @@ def spmm_coo(row: jax.Array, col: jax.Array, value: Optional[jax.Array],
         if concrete:
             plan, structure = _cached_spmm_plan(row, col, num_rows,
                                                 int(x.shape[0]),
-                                                int(x.shape[-1]))
+                                                int(x.shape[-1]),
+                                                key_row=row_in,
+                                                key_col=col_in)
             return spmm_chunked(plan, structure, value, x).astype(x.dtype)
         from .convert import ind2ptr
         rowptr = ind2ptr(row, num_rows)

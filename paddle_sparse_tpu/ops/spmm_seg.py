@@ -130,9 +130,21 @@ def make_seg_plan(row, col, num_rows: int, num_cols: int, *,
                   target_bytes: int = 1024 * 1024 * 1024,
                   seg_rows: int = SEG_ROWS):
     """Host-side setup (eager; concrete indices).  Returns
-    ``(plan, structure)`` for :func:`spmm_seg`."""
+    ``(plan, structure)`` for :func:`spmm_seg`.
+
+    CONTRACT: ``row`` must be sorted ascending (canonical storage order,
+    as produced by ``SparseStorage``/``PaddedCOO``) — the counting
+    reorder in ``_seg_order`` and its ``blk_start`` searchsorted assume
+    block-contiguous rows and silently mis-bucket unsorted input
+    (ADVICE r3, low).  Planning is already eager, so this is checked
+    here on host."""
     row = jnp.asarray(row, jnp.int32)
     col = jnp.asarray(col, jnp.int32)
+    row_host = np.asarray(row)
+    if row_host.size and not np.all(np.diff(row_host) >= 0):
+        raise ValueError(
+            "make_seg_plan requires row indices sorted ascending "
+            "(canonical COO order); sort/coalesce the structure first")
 
     def cdiv(a, b):
         return -(-a // b)

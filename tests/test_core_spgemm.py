@@ -95,3 +95,50 @@ def test_plan_spgemm_capacities():
     np.add.at(Cd, (np.asarray(C.row)[:rn], np.asarray(C.col)[:rn]),
               np.asarray(C.value)[:rn])
     np.testing.assert_allclose(Cd, Ad @ Ad, rtol=1e-4, atol=1e-5)
+
+
+def test_spgemm_large_coords_x64_off():
+    """Key-range guard (ADVICE r3, high): with x64 disabled the composite
+    sort key must not be used when M*(N+1)+N overflows int32 — the kernel
+    falls back to a two-key lexicographic sort and stays correct."""
+    import numpy as np
+    import scipy.sparse as sp
+    from paddle_sparse_tpu.core import PaddedCOO
+    from paddle_sparse_tpu.core.spgemm import spspmm_padded
+    from paddle_sparse_tpu.ops.spspmm import plan_spgemm
+
+    x64_was = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    try:
+        rng = np.random.default_rng(11)
+        M, nnz = 50_000, 300   # M*(N+1)+N = 2.5e9 > 2^31
+        rown = np.sort(rng.integers(0, M, nnz)).astype(np.int32)
+        coln = rng.integers(0, M, nnz).astype(np.int32)
+        valn = rng.normal(size=nnz).astype(np.float32)
+        A = PaddedCOO.from_arrays(jnp.asarray(rown), jnp.asarray(coln),
+                                  jnp.asarray(valn), (M, M)).coalesce()
+        fc, oc = plan_spgemm(A, A, exact_out=False)
+        res = spspmm_padded(A, A, fc, oc)
+        assert not bool(res.overflowed)
+        C = res.matrix
+        n = int(C.nnz)
+        got = sp.coo_matrix(
+            (np.asarray(C.value)[:n],
+             (np.asarray(C.row)[:n], np.asarray(C.col)[:n])),
+            shape=(M, M)).tocsr()
+        na = int(A.nnz)
+        As = sp.coo_matrix(
+            (np.asarray(A.value)[:na],
+             (np.asarray(A.row)[:na], np.asarray(A.col)[:na])),
+            shape=(M, M)).tocsr()
+        want = (As @ As).tocsr()
+        want.sort_indices()
+        got.sort_indices()
+        # pads must have sorted last: every stored coordinate is in range
+        assert got.indices.max(initial=0) < M
+        np.testing.assert_array_equal(got.indptr, want.indptr)
+        np.testing.assert_array_equal(got.indices, want.indices)
+        np.testing.assert_allclose(got.data, want.data, rtol=1e-5,
+                                   atol=1e-6)
+    finally:
+        jax.config.update("jax_enable_x64", x64_was)
