@@ -578,14 +578,15 @@ def spmm_pallas(rowptr: jax.Array, col: jax.Array,
                 value: Optional[jax.Array], x: jax.Array,
                 row: Optional[jax.Array] = None,
                 tile_rows: int = 128, chunk_edges: int = 2048,
-                interpret: bool = False) -> jax.Array:
+                interpret: bool = False,
+                stream: Optional[str] = None) -> jax.Array:
     """Full SpMM (sum-reduce): XLA gather/scale + Pallas row reduction.
 
     Forward only; gradients are wired by ``ops.spmm`` (backward = transpose
     SpMM + an SDDMM for the value grad).
     """
     num_rows = int(rowptr.shape[0]) - 1
-    pdt = _product_dtype(value, x)
+    pdt = _product_dtype(value, x, stream)
     # cast BEFORE the gather: the random row gather is the dominant HBM
     # term, so it should read the narrow dtype
     products = jnp.take(x.astype(pdt), col, axis=0, mode="clip")

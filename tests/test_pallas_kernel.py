@@ -211,18 +211,22 @@ def test_bf16_stream_optin(monkeypatch):
     """PSP_SPMM_STREAM=bf16 halves the gather/stream bytes at ~3 decimal
     digits of element precision; accumulation stays f32 (VERDICT r2
     item 3: bf16 stream behind an explicit opt-in, strict f32 default)."""
+    # The env knob is snapshotted ONCE at import (ADVICE r3: jit caches
+    # are not keyed on the environment); per-call choice goes through the
+    # explicit ``stream`` argument / SpmmPlan.stream instead.
     from paddle_sparse_tpu.ops.kernels.spmm_pallas import (_product_dtype,
                                                            spmm_pallas)
-    monkeypatch.setenv("PSP_SPMM_STREAM", "bf16")
     val = jnp.ones((4,), jnp.float32)
     x32 = jnp.ones((4, 8), jnp.float32)
-    assert _product_dtype(val, x32) == jnp.bfloat16
-    monkeypatch.setenv("PSP_SPMM_STREAM", "f32")
+    assert _product_dtype(val, x32, stream="bf16") == jnp.bfloat16
+    assert _product_dtype(val, x32, stream="f32") == jnp.float32
+    # mid-process env flips do NOT change behavior (import-time snapshot)
+    monkeypatch.setenv("PSP_SPMM_STREAM", "bf16")
     assert _product_dtype(val, x32) == jnp.float32
     # f64 never drops precision regardless of the knob
-    monkeypatch.setenv("PSP_SPMM_STREAM", "bf16")
     assert _product_dtype(val.astype(jnp.float64),
-                          x32.astype(jnp.float64)) == jnp.float32
+                          x32.astype(jnp.float64),
+                          stream="bf16") == jnp.float32
 
     M, N, K, nnz = 120, 100, 64, 900
     row, col, rowptr = _graph(M, N, nnz)
@@ -230,13 +234,18 @@ def test_bf16_stream_optin(monkeypatch):
     x = rng.standard_normal((N, K)).astype(np.float32)
     out = spmm_pallas(jnp.asarray(rowptr, jnp.int32),
                       jnp.asarray(col, jnp.int32), jnp.asarray(v),
-                      jnp.asarray(x), interpret=True)
+                      jnp.asarray(x), interpret=True, stream="bf16")
     expected = np.zeros((M, K), np.float32)
     np.add.at(expected, row, v[:, None] * x[col])
     # bf16 elements carry ~8 bits of mantissa: bound the error relative
     # to the largest output magnitude, not element-wise
     err = np.abs(np.asarray(out) - expected).max()
     assert err <= 2e-2 * np.abs(expected).max(), err
+    # and it IS bf16-rounded (differs from the strict-f32 path)
+    out32 = spmm_pallas(jnp.asarray(rowptr, jnp.int32),
+                        jnp.asarray(col, jnp.int32), jnp.asarray(v),
+                        jnp.asarray(x), interpret=True, stream="f32")
+    assert np.abs(np.asarray(out32) - expected).max() < err
 
 
 def test_fused_backward_multiblock():
