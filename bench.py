@@ -197,7 +197,20 @@ def measure(backend: str, scale: float, graph: str = "uniform",
         stream = "f32"
 
     t_plan0 = time.perf_counter()
-    if backend == "seg":
+    if backend == "seg2":
+        from paddle_sparse_tpu.ops.spmm_seg2 import (make_seg2_plan,
+                                                     pack_values,
+                                                     spmm_seg2)
+        plan, structure = make_seg2_plan(row, col, num_nodes, num_nodes,
+                                         feat_dim=dim)
+        packed = pack_values(structure, value)
+        jax.block_until_ready((structure, packed))
+
+        def spmm_fn(s, v, xx):
+            return spmm_seg2(plan, s, v, xx)
+
+        args = (structure, packed, x)
+    elif backend == "seg":
         from paddle_sparse_tpu.ops.spmm_seg import (make_seg_plan,
                                                     pack_values, spmm_seg)
         plan, structure = make_seg_plan(row, col, num_nodes, num_nodes,

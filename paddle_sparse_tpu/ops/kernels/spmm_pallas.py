@@ -43,13 +43,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _reduce_kernel(item_tile_ref, item_chunk_ref, item_first_ref,
-                   start_ref, end_ref, chunk_ref, out_ref, *,
-                   R: int, E: int, split: bool):
+                   start_ref, end_ref, chunk_ref, *rest,
+                   R: int, E: int, split: bool, has_acc: bool):
+    if has_acc:
+        acc_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     i = pl.program_id(0)
 
     @pl.when(item_first_ref[i] == 1)
     def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        # first visit of this output tile: seed from the running
+        # accumulator (segment-outer SpMM carries the output across
+        # passes) or from zeros
+        if has_acc:
+            out_ref[:] = acc_ref[:]
+        else:
+            out_ref[:] = jnp.zeros_like(out_ref)
 
     ch = item_chunk_ref[i]
     e_ids = jax.lax.broadcasted_iota(jnp.int32, (R, E), 1) + ch * E
@@ -122,26 +132,36 @@ def _work_items_chunk_major(tp, nchunks_e: int, num_tiles: int, E: int):
 
 
 def _reduce_call(bounds_start, bounds_end, products2d, items, num_tiles,
-                 R, E, K, split, interpret):
+                 R, E, K, split, interpret, acc=None):
     """Shared pallas_call wrapper: (num_tiles+1) output blocks, dummy tile
-    sliced off by the caller."""
+    sliced off by the caller.  ``acc`` (optional, same padded shape as the
+    output) seeds each output tile on first visit — the segment-outer
+    SpMM accumulates across passes with one read + one write per tile per
+    pass instead of a separate add."""
     ITEMS, item_tile, item_chunk, item_first = items
     nchunks_e = products2d.shape[0] // E
+    in_specs = [
+        pl.BlockSpec((R, 1), lambda i, t, c, f: (t[i], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, 1), lambda i, t, c, f: (t[i], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, K), lambda i, t, c, f: (c[i], 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [bounds_start, bounds_end, products2d]
+    if acc is not None:
+        in_specs.append(pl.BlockSpec((R, K), lambda i, t, c, f: (t[i], 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(acc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ITEMS,),
-        in_specs=[
-            pl.BlockSpec((R, 1), lambda i, t, c, f: (t[i], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 1), lambda i, t, c, f: (t[i], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, K), lambda i, t, c, f: (c[i], 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((R, K), lambda i, t, c, f: (t[i], 0),
                                memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(_reduce_kernel, R=R, E=E, split=split)
+    kernel = functools.partial(_reduce_kernel, R=R, E=E, split=split,
+                               has_acc=acc is not None)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -153,8 +173,7 @@ def _reduce_call(bounds_start, bounds_end, products2d, items, num_tiles,
             + (num_tiles + 1) * R * (K + 2) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(item_tile, item_chunk, item_first, bounds_start, bounds_end,
-      products2d)
+    )(item_tile, item_chunk, item_first, *operands)
 
 
 def _stream_env():
@@ -215,14 +234,17 @@ def segment_rows_matmul(products: jax.Array, row: Optional[jax.Array],
                         rowptr: jax.Array, num_rows: int,
                         tile_rows: int = 128, chunk_edges: int = 2048,
                         split: bool = True,
-                        interpret: bool = False) -> jax.Array:
+                        interpret: bool = False,
+                        acc: Optional[jax.Array] = None) -> jax.Array:
     """Streaming CSR row-reduction: ``out[m] = sum_{rowptr[m]<=e<rowptr[m+1]}
     products[e]``.
 
     ``products`` (nnz, K) must be row-sorted; ``rowptr`` the CSR pointer
     (len num_rows + 1).  ``row`` is accepted for API compatibility and
-    ignored (the kernel works entirely off row *bounds*).  Returns
-    (num_rows, K) f32.
+    ignored (the kernel works entirely off row *bounds*).  ``acc``
+    (optional (num_rows, K) f32) is added to the result inside the kernel
+    (each output tile seeds from it on first visit — no separate add
+    pass).  Returns (num_rows, K) f32.
     """
     del row
     R, E = tile_rows, chunk_edges
@@ -248,8 +270,11 @@ def segment_rows_matmul(products: jax.Array, row: Optional[jax.Array],
                              num_tiles * R)].astype(jnp.int32)
     items = _work_items_chunk_major(tp, nchunks_e, num_tiles, E)
 
+    if acc is not None:
+        acc = jnp.pad(acc.astype(jnp.float32),
+                      ((0, (num_tiles + 1) * R - acc.shape[0]), (0, 0)))
     out = _reduce_call(bounds_start, bounds_end, products, items,
-                       num_tiles, R, E, K, split, interpret)
+                       num_tiles, R, E, K, split, interpret, acc=acc)
     return out[:num_rows]
 
 
