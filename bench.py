@@ -201,10 +201,17 @@ def measure(backend: str, scale: float, graph: str = "uniform",
         from paddle_sparse_tpu.ops.spmm_seg2 import (make_seg2_plan,
                                                      pack_values,
                                                      spmm_seg2)
+        sr_env = os.environ.get("PSP_SEG2_SR")
         plan, structure = make_seg2_plan(row, col, num_nodes, num_nodes,
-                                         feat_dim=dim)
+                                         feat_dim=dim,
+                                         sr=int(sr_env) if sr_env
+                                         else None)
         packed = pack_values(structure, value)
         jax.block_until_ready((structure, packed))
+        # free arrays the timed loop never touches (full scale is HBM
+        # tight: graph + structure + product window + out carry)
+        del row, col, value
+        row = col = value = None
 
         def spmm_fn(s, v, xx):
             return spmm_seg2(plan, s, v, xx)

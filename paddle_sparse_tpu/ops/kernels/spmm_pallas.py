@@ -43,8 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _reduce_kernel(item_tile_ref, item_chunk_ref, item_first_ref,
-                   start_ref, end_ref, chunk_ref, *rest,
-                   R: int, E: int, split: bool, has_acc: bool):
+                   *rest, R: int, E: int, split: bool, has_acc: bool,
+                   has_base: bool):
+    if has_base:
+        rest = rest[1:]        # tile_base only feeds the index maps
+    start_ref, end_ref, chunk_ref, *rest = rest
     if has_acc:
         acc_ref, out_ref = rest
     else:
@@ -132,48 +135,72 @@ def _work_items_chunk_major(tp, nchunks_e: int, num_tiles: int, E: int):
 
 
 def _reduce_call(bounds_start, bounds_end, products2d, items, num_tiles,
-                 R, E, K, split, interpret, acc=None):
-    """Shared pallas_call wrapper: (num_tiles+1) output blocks, dummy tile
-    sliced off by the caller.  ``acc`` (optional, same padded shape as the
-    output) seeds each output tile on first visit — the segment-outer
-    SpMM accumulates across passes with one read + one write per tile per
-    pass instead of a separate add."""
+                 R, E, K, split, interpret, acc=None, tile_base=None):
+    """Shared pallas_call wrapper.
+
+    Without ``tile_base``: output is ((num_tiles+1)*R, K) — the dummy
+    tile is sliced off by the caller.  ``acc`` (optional, same padded
+    shape) seeds each output tile on first visit.
+
+    With ``tile_base`` (a (1,) int32 array): windowed in-place
+    accumulation — ``acc`` is a FULL-SIZE running buffer, output/acc
+    blocks are offset by ``tile_base[0]`` tiles, and acc is ALIASED to
+    the output, so blocks this call never visits keep their accumulated
+    values (one read + one write per visited tile; untouched tiles cost
+    nothing).  The caller guarantees the buffer has at least
+    ``tile_base[0] + num_tiles + 1`` tiles."""
     ITEMS, item_tile, item_chunk, item_first = items
     nchunks_e = products2d.shape[0] // E
-    in_specs = [
-        pl.BlockSpec((R, 1), lambda i, t, c, f: (t[i], 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((R, 1), lambda i, t, c, f: (t[i], 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((E, K), lambda i, t, c, f: (c[i], 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    if tile_base is None:
+        bspec = pl.BlockSpec((R, 1), lambda i, t, c, f: (t[i], 0),
+                             memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((E, K), lambda i, t, c, f: (c[i], 0),
+                             memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((R, K), lambda i, t, c, f: (t[i], 0),
+                             memory_space=pltpu.VMEM)
+        scalars = [item_tile, item_chunk, item_first]
+        out_rows = (num_tiles + 1) * R
+        aliases = {}
+    else:
+        assert acc is not None
+        bspec = pl.BlockSpec((R, 1), lambda i, t, c, f, b: (t[i], 0),
+                             memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((E, K), lambda i, t, c, f, b: (c[i], 0),
+                             memory_space=pltpu.VMEM)
+        ospec = pl.BlockSpec((R, K),
+                             lambda i, t, c, f, b: (t[i] + b[0], 0),
+                             memory_space=pltpu.VMEM)
+        scalars = [item_tile, item_chunk, item_first, tile_base]
+        out_rows = acc.shape[0]
+        # acc operand index counts scalar-prefetch args: 4 scalars +
+        # bounds_start + bounds_end + products -> 7
+        aliases = {7: 0}
+    in_specs = [bspec, bspec, cspec]
     operands = [bounds_start, bounds_end, products2d]
     if acc is not None:
-        in_specs.append(pl.BlockSpec((R, K), lambda i, t, c, f: (t[i], 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(ospec)
         operands.append(acc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=len(scalars),
         grid=(ITEMS,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((R, K), lambda i, t, c, f: (t[i], 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=ospec,
     )
     kernel = functools.partial(_reduce_kernel, R=R, E=E, split=split,
-                               has_acc=acc is not None)
+                               has_acc=acc is not None,
+                               has_base=tile_base is not None)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(((num_tiles + 1) * R, K),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_rows, K), jnp.float32),
+        input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
             flops=2 * ITEMS * R * E * K * (2 if split else 6),
             bytes_accessed=nchunks_e * E * products2d.dtype.itemsize * K
             + (num_tiles + 1) * R * (K + 2) * 4,
             transcendentals=0),
         interpret=interpret,
-    )(item_tile, item_chunk, item_first, *operands)
+    )(*scalars, *operands)
 
 
 def _stream_env():

@@ -1,4 +1,4 @@
-"""Segment-outer source-blocked SpMM — the round-4 flagship forward path.
+"""Segment-outer source-blocked SpMM — the round-4 flagship path.
 
 Measured basis (TPU v5e, experiments/r4_gather_curve.py / r4_gather_width.py):
 
@@ -13,24 +13,29 @@ Round-3's ``spmm_seg`` exploited the same fast mode but looped
 (row-block x segment) windows, re-slicing each 64 MB segment once per
 row block (~150 GB of copies at ogbn-products scale) and paying the
 work-item kernel's tile-visit overhead per window — it tied the flagship
-in situ.  This module restructures the computation *segment-outer*:
+in situ.  This module restructures the computation *segment-outer*, with
+each segment's edge window processed in W bounded sub-windows so the
+product stream never exceeds a few hundred MB of HBM (full-scale
+operands OOM'd a 16 GB chip otherwise):
 
-    for s in segments:                         # S = ceil(N / SR) passes
-        src   = x[s*SR:(s+1)*SR]               # one 64 MB slice per pass
-        prod  = take(src, local_cols) * vals   # FAST-mode gather
-        out   = reduce_rows(prod, acc=out)     # Pallas kernel, acc fused
+    for s in segments:                   # S = ceil(N / SR) passes
+      for w in sub-windows(s):           # bounded edge windows
+        src  = x[sbase[s] : +SR]         # 64 MB slice (fast-mode gate)
+        prod = take(src, local_cols) * vals        # FAST gather
+        out[rlo..rlo+CRW] += reduce_rows(prod)     # Pallas, in-place
 
-Each segment is sliced exactly once, the (nnz, K) product stream exists
-only one segment window at a time, and the output accumulates across
-passes *inside* the reduction kernel (one read + one write per tile per
-pass — no separate add).
+The reduction kernel accumulates IN PLACE into the full running output
+(``input_output_aliases`` + a tile offset fed through scalar prefetch):
+a sub-window touches only its own row range — one read + one write per
+visited tile per pass, nothing else moves.  Edges are (segment,
+row)-sorted, so each sub-window's rows are a contiguous range whose
+tile-aligned starts (``rlo``) are precomputed at plan time.
 
-Edge order: the structure stores edges in (segment, row)-sorted order;
-values live in that packed layout (convert once with :func:`pack_values`
-— like CSR keeps values in CSR order).  The backward runs the same
-machinery over the transpose structure (d_x = A^T @ g with g-segments in
-fast mode) and fuses the SDDMM value-gradient into the same pass, sharing
-the fast g-gather.
+Values live in the packed (segment, row)-sorted layout (convert once
+with :func:`pack_values` — like CSR keeps values in CSR order).  The
+backward runs the same machinery over the transpose structure
+(d_x = A^T @ g with g-segments in fast mode) and fuses the SDDMM
+value-gradient into the same pass, sharing the fast g-gather.
 
 The reference has no SpMM (unsupported list, /root/reference/README.md:45);
 the functional contract implemented here is the upstream one documented
@@ -47,19 +52,25 @@ import numpy as np
 # fast-gather source ceiling (bytes), measured on v5e: 64 MB sources hit
 # ~190M rows/s; 128 MB fall to ~100M rows/s
 FAST_SRC_BYTES = 64 << 20
+# per-sub-window product-stream budget (bytes of gathered rows)
+WINDOW_BYTES = 384 << 20
 
 
 class Seg2Plan(NamedTuple):
     """Static (hashable) geometry for :func:`spmm_seg2`."""
     num_rows: int
     num_cols: int
-    S: int             # number of source segments (forward)
+    S: int             # source segments (forward)
     SR: int            # rows per source segment (power of two)
-    S_t: int           # segments over the transpose source (g rows)
+    W: int             # sub-windows per segment
+    ECW: int           # edge capacity per sub-window (chunk-padded)
+    CRW: int           # max row span per sub-window (tile-padded)
+    S_t: int           # transpose-side geometry (source = g)
     SR_t: int
-    EC: int            # max edges per forward segment window (chunk-padded)
-    EC_t: int
-    chunk: int = 1024  # kernel edge-chunk size E
+    W_t: int
+    ECW_t: int
+    CRW_t: int
+    chunk: int = 512   # kernel edge-chunk size E
     interpret: bool = False
     stream: str = "f32"
 
@@ -71,14 +82,18 @@ class Seg2Structure(NamedTuple):
     layout: edges sorted by (g-segment of ``row``, col).  All passed to
     jitted code as ARGUMENTS (remote-compile transports reject giant
     constants)."""
-    col_f: jax.Array       # (nnz,) segment-LOCAL cols, fwd layout
+    col_f: jax.Array       # (nnz,) source-slice-LOCAL cols, fwd layout
     rp_f: jax.Array        # (S, M+1) absolute row pointers per segment
     perm_f: jax.Array      # (nnz,) fwd position -> COO position
-    col_t: jax.Array       # (nnz,) segment-local g-rows, transpose layout
+    sbase_f: jax.Array     # (S,) source slice base rows (clamped)
+    rlo_f: jax.Array       # (S*W,) tile-aligned first row per sub-window
+    col_t: jax.Array       # (nnz,) slice-local g-rows, transpose layout
     rp_t: jax.Array        # (S_t, N+1) absolute out-row pointers
+    sbase_t: jax.Array     # (S_t,)
+    rlo_t: jax.Array       # (S_t*W_t,)
     xrow_t: jax.Array      # (nnz,) global x-row (= colA) per t-edge
     relay_ft: jax.Array    # (nnz,) t position -> fwd position (values)
-    dv_map: jax.Array      # (nnz,) fwd position -> dv window slot
+    dv_map: jax.Array      # (nnz,) fwd position -> dv sub-window slot
 
 
 def _lg2(v: int) -> int:
@@ -95,10 +110,10 @@ def _pick_sr(num_src_rows: int, feat_dim: int, stream_bytes: int) -> int:
 
 
 def _counting_order(bucket: jax.Array, S: int):
-    """Stable counting sort by a small-range key: returns ``(order,
-    wptr)`` with ``order[i]`` the input position of sorted slot ``i``.
-    ``S`` passes of cumsum — no device argsort (an int argsort of a
-    full-scale edge stream is ~minutes on this toolchain)."""
+    """Stable counting sort by a small-range key: returns ``order`` with
+    ``order[i]`` the input position of sorted slot ``i``.  ``S`` passes
+    of cumsum — no device argsort (an int argsort of a full-scale edge
+    stream is ~minutes on this toolchain)."""
     nnz = bucket.shape[0]
     counts = jnp.zeros((S,), jnp.int32).at[bucket].add(1)
     wptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
@@ -109,9 +124,8 @@ def _counting_order(bucket: jax.Array, S: int):
         cum = jnp.cumsum(m.astype(jnp.int32))
         rank = jnp.where(m, cum - 1, rank)
     pos = jnp.take(wptr, bucket) + rank
-    order = jnp.zeros((nnz,), jnp.int32).at[pos].set(
+    return jnp.zeros((nnz,), jnp.int32).at[pos].set(
         jnp.arange(nnz, dtype=jnp.int32))
-    return order, wptr
 
 
 def _seg_rowptrs(seg_sorted: jax.Array, row_sorted: jax.Array, S: int,
@@ -131,15 +145,17 @@ def _seg_rowptrs(seg_sorted: jax.Array, row_sorted: jax.Array, S: int,
 
 def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
                    feat_dim: int, stream: Optional[str] = None,
-                   chunk_edges: int = 1024,
-                   sr: Optional[int] = None):
+                   chunk_edges: int = 512,
+                   sr: Optional[int] = None,
+                   window_bytes: int = WINDOW_BYTES):
     """Plan builder (eager; concrete indices).  Returns
     ``(plan, structure)`` for :func:`spmm_seg2`.
 
-    All nnz-sized work runs ON DEVICE in two jitted programs — through a
-    remote-attached device (axon tunnel) host round-trips of edge-stream
-    arrays cost minutes, so only two scalars (the window maxima) ever
-    reach the host.
+    All nnz-sized work runs ON DEVICE in a handful of jitted phases —
+    through a remote-attached device (axon tunnel) host round-trips of
+    edge-stream arrays cost minutes, and a single fused program at
+    ogbn-products scale overflows HBM; only a few scalars (window
+    maxima) reach the host.
 
     CONTRACT: ``row`` sorted ascending (canonical COO order).  ``sr``
     overrides the measured fast-gather segment size (power of two;
@@ -166,74 +182,117 @@ def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
     SR_t = sr or _pick_sr(M, feat_dim, stream_bytes)
     S_t = max(1, cdiv(M, SR_t))
 
-    @functools.partial(jax.jit, static_argnames=("S", "SR", "S_t", "SR_t",
-                                                 "M", "N"))
-    def build(row, col, *, S, SR, S_t, SR_t, M, N):
+    # ---- phase 1: forward layout (bucket by x-segment; rows stay
+    # sorted within each segment because the input is row-sorted) -------
+    @functools.partial(jax.jit, static_argnames=("S", "SR", "M", "N"))
+    def build_fwd(row, col, *, S, SR, M, N):
         sorted_ok = jnp.all(jnp.diff(row) >= 0) if row.shape[0] else \
             jnp.bool_(True)
-        # ---- forward layout: stable bucket by x-segment (rows stay
-        # sorted within each segment because the input is row-sorted) ----
         seg = (col >> _lg2(SR)).astype(jnp.int32)
-        order_f, _ = _counting_order(seg, S)
-        col_f = jnp.take(col, order_f) - (jnp.take(seg, order_f)
-                                          << _lg2(SR))
-        rp_f = _seg_rowptrs(jnp.take(seg, order_f),
-                            jnp.take(row, order_f), S, M)
+        order_f = _counting_order(seg, S)
+        seg_f = jnp.take(seg, order_f)
+        sbase = jnp.minimum(
+            jnp.arange(S, dtype=jnp.int32) * SR,
+            jnp.int32(max(0, N - SR)))   # clamped: last slice stays in x
+        col_f = jnp.take(col, order_f) - jnp.take(sbase, seg_f)
+        rp_f = _seg_rowptrs(seg_f, jnp.take(row, order_f), S, M)
+        max_f = (rp_f[:, -1] - rp_f[:, 0]).max()
+        return order_f, col_f, rp_f, sbase, max_f, sorted_ok
 
-        # ---- transpose layout: CSC order (argsort by col — stable), then
-        # stable bucket by g-segment of the original row ----
-        perm_c = jnp.argsort(col, stable=True).astype(jnp.int32)
-        rowc = jnp.take(row, perm_c)
-        seg_t = (rowc >> _lg2(SR_t)).astype(jnp.int32)
-        order_t2, _ = _counting_order(seg_t, S_t)
-        perm_t = jnp.take(perm_c, order_t2)
-        col_t = jnp.take(rowc, order_t2) - (jnp.take(seg_t, order_t2)
-                                            << _lg2(SR_t))
-        xrow_t = jnp.take(jnp.take(col, perm_c), order_t2)
-        rp_t = _seg_rowptrs(jnp.take(seg_t, order_t2), xrow_t, S_t, N)
-
-        max_f = (rp_f[:, -1] - rp_f[:, 0]).max() if S else jnp.int32(nnz)
-        max_t = (rp_t[:, -1] - rp_t[:, 0]).max() if S_t else \
-            jnp.int32(nnz)
-        return (order_f, col_f, rp_f, perm_t, col_t, xrow_t, rp_t,
-                max_f, max_t, sorted_ok)
-
-    (order_f, col_f, rp_f, perm_t, col_t, xrow_t, rp_t,
-     max_f, max_t, sorted_ok) = build(row, col, S=S, SR=SR, S_t=S_t,
-                                      SR_t=SR_t, M=M, N=N)
+    order_f, col_f, rp_f, sbase_f, max_f, sorted_ok = build_fwd(
+        row, col, S=S, SR=SR, M=M, N=N)
     if not bool(sorted_ok):
         raise ValueError(
             "make_seg2_plan requires row indices sorted ascending "
             "(canonical COO order); sort/coalesce the structure first")
-    EC = rnd(int(max_f), chunk_edges)
-    EC_t = rnd(int(max_t), chunk_edges)
 
-    @functools.partial(jax.jit, static_argnames=("EC_t",))
-    def relays(order_f, perm_t, wptr_t, *, EC_t):
+    # ---- phase 2: transpose layout (CSC order, then bucket by the
+    # g-segment of the original row) ------------------------------------
+    @functools.partial(jax.jit, static_argnames=("S_t", "SR_t", "M", "N"))
+    def build_t(row, col, *, S_t, SR_t, M, N):
+        perm_c = jnp.argsort(col, stable=True).astype(jnp.int32)
+        rowc = jnp.take(row, perm_c)
+        seg_t = (rowc >> _lg2(SR_t)).astype(jnp.int32)
+        order_t2 = _counting_order(seg_t, S_t)
+        perm_t = jnp.take(perm_c, order_t2)
+        sbase = jnp.minimum(
+            jnp.arange(S_t, dtype=jnp.int32) * SR_t,
+            jnp.int32(max(0, M - SR_t)))
+        col_t = jnp.take(rowc, order_t2) - jnp.take(
+            sbase, jnp.take(seg_t, order_t2))
+        xrow_t = jnp.take(jnp.take(col, perm_c), order_t2)
+        rp_t = _seg_rowptrs(jnp.take(seg_t, order_t2), xrow_t, S_t, N)
+        max_t = (rp_t[:, -1] - rp_t[:, 0]).max()
+        return perm_t, col_t, rp_t, sbase, xrow_t, max_t
+
+    perm_t, col_t, rp_t, sbase_t, xrow_t, max_t = build_t(
+        row, col, S_t=S_t, SR_t=SR_t, M=M, N=N)
+
+    # ---- window geometry (host scalars -> static plan) -----------------
+    E = chunk_edges
+    win_edges = max(E, window_bytes // max(1, feat_dim * stream_bytes))
+    EC = rnd(int(max_f), E)
+    W = max(1, cdiv(EC, win_edges))
+    ECW = rnd(cdiv(EC, W), E)
+    EC_t = rnd(int(max_t), E)
+    W_t = max(1, cdiv(EC_t, win_edges))
+    ECW_t = rnd(cdiv(EC_t, W_t), E)
+
+    # ---- phase 3: per-sub-window row spans ----------------------------
+    @functools.partial(jax.jit, static_argnames=("W", "ECW", "M"))
+    def spans(rp, *, W, ECW, M):
+        # sub-window w of segment s covers edges
+        # [rp[s,0] + w*ECW, +ECW); rows are sorted within the segment so
+        # the touched rows are one contiguous range
+        base = rp[:, :1] + jnp.arange(W, dtype=jnp.int32)[None, :] * ECW
+
+        def seg_spans(rps, bases):
+            r_lo = jnp.clip(
+                jnp.searchsorted(rps, bases, side="right") - 1, 0, M - 1)
+            r_hi = jnp.clip(
+                jnp.searchsorted(rps, bases + ECW, side="left") - 1,
+                0, M - 1)
+            return r_lo, jnp.maximum(r_hi, r_lo)
+
+        r_lo, r_hi = jax.vmap(seg_spans)(rp, base)
+        rlo = ((r_lo // 128) * 128).astype(jnp.int32).reshape(-1)
+        span = (r_hi.reshape(-1) - rlo + 1).max()
+        return rlo, span
+
+    rlo_f, span_f = spans(rp_f, W=W, ECW=ECW, M=M)
+    rlo_t, span_t = spans(rp_t, W=W_t, ECW=ECW_t, M=N)
+    CRW = rnd(int(span_f), 128)
+    CRW_t = rnd(int(span_t), 128)
+
+    # ---- phase 4: relays (precomposed scalar maps) ---------------------
+    @functools.partial(jax.jit, static_argnames=("W_t", "ECW_t"))
+    def relays(order_f, perm_t, wptr_t, *, W_t, ECW_t):
         nnz_ = order_f.shape[0]
         ar = jnp.arange(nnz_, dtype=jnp.int32)
         inv_f = jnp.zeros((nnz_,), jnp.int32).at[order_f].set(ar)
         inv_t = jnp.zeros((nnz_,), jnp.int32).at[perm_t].set(ar)
         relay_ft = jnp.take(inv_f, perm_t)       # t pos -> fwd pos
         relay_tf = jnp.take(inv_t, order_f)      # fwd pos -> t pos
-        # dv window slot of each t position: window s spans
-        # [wptr_t[s], wptr_t[s]+EC_t) of the stacked (S_t, EC_t) buffer
+        # dv slot of each t position in the stacked (S_t*W_t, ECW_t)
+        # buffer: sub-window k = s*W_t + (pos - wptr[s]) // ECW_t
         s_of_t = (jnp.searchsorted(wptr_t, ar, side="right") - 1
                   ).astype(jnp.int32)
-        slot_t = s_of_t * EC_t + (ar - jnp.take(wptr_t, s_of_t))
-        dv_map = jnp.take(slot_t, relay_tf)      # fwd pos -> dv slot
-        return relay_ft, dv_map
+        off = ar - jnp.take(wptr_t, s_of_t)
+        slot_t = ((s_of_t * W_t + off // ECW_t) * ECW_t) + off % ECW_t
+        return relay_ft, jnp.take(slot_t, relay_tf)
 
     wptr_t = jnp.concatenate([rp_t[:, 0], rp_t[-1:, -1]])
-    relay_ft, dv_map = relays(order_f, perm_t, wptr_t, EC_t=EC_t)
+    relay_ft, dv_map = relays(order_f, perm_t, wptr_t, W_t=W_t,
+                              ECW_t=ECW_t)
 
-    plan = Seg2Plan(M, N, S, SR, S_t, SR_t, EC, EC_t,
-                    chunk=chunk_edges,
+    plan = Seg2Plan(M, N, S, SR, W, ECW, CRW, S_t, SR_t, W_t, ECW_t,
+                    CRW_t, chunk=E,
                     interpret=jax.default_backend() == "cpu",
                     stream=stream)
     structure = Seg2Structure(
-        col_f=col_f, rp_f=rp_f, perm_f=order_f, col_t=col_t, rp_t=rp_t,
-        xrow_t=xrow_t, relay_ft=relay_ft, dv_map=dv_map)
+        col_f=col_f, rp_f=rp_f, perm_f=order_f, sbase_f=sbase_f,
+        rlo_f=rlo_f, col_t=col_t, rp_t=rp_t, sbase_t=sbase_t,
+        rlo_t=rlo_t, xrow_t=xrow_t, relay_ft=relay_ft, dv_map=dv_map)
     return plan, structure
 
 
@@ -251,13 +310,15 @@ def unpack_values(s: Seg2Structure, packed: jax.Array) -> jax.Array:
     return jnp.zeros((nnz,), packed.dtype).at[s.perm_f].set(packed)
 
 
-def _seg_pass(cols, rp, vals, x, *, out_rows: int, S: int, SR: int,
-              EC: int, E: int, interpret: bool, pdt,
-              extra_per_seg=None):
-    """Shared segment-outer pass: fast-mode gather + accumulated Pallas
-    row reduction.  ``extra_per_seg(s, raw_rows, cols_l, e0)`` optionally
-    computes a per-segment side product (the fused SDDMM); its stacked
-    results are returned alongside the output."""
+def _seg_pass(cols, rp, sbase, rlo, vals, x, *, out_rows: int, S: int,
+              SR: int, W: int, ECW: int, CRW: int, E: int,
+              interpret: bool, pdt, extra_per_win=None):
+    """Shared segment-outer pass: fast-mode gather + in-place accumulated
+    Pallas row reduction over S*W bounded sub-windows.
+
+    ``extra_per_win(k, raw_rows, e0)`` optionally computes a per-window
+    side product (the fused SDDMM); its stacked (S*W, ECW) results are
+    returned alongside the output."""
     import jax.experimental.pallas as pl
 
     from .kernels.spmm_pallas import (_reduce_call, _row_bounds,
@@ -265,58 +326,66 @@ def _seg_pass(cols, rp, vals, x, *, out_rows: int, S: int, SR: int,
 
     K = x.shape[1]
     R = 128
-    num_tiles = pl.cdiv(out_rows, R)
-    NCE = EC // E
+    T = CRW // R
+    NCE = ECW // E
+    # running buffer: enough tiles that any sub-window (tile_base + T +
+    # dummy) stays in range
+    buf_tiles = pl.cdiv(out_rows, R) + T + 1
 
-    pad_src = S * SR - x.shape[0]
-    x_n = x.astype(pdt)
-    x_pad = (jnp.concatenate([x_n, jnp.zeros((pad_src, K), pdt)])
-             if pad_src else x_n)
-    colp = jnp.concatenate([cols, jnp.zeros((EC,), jnp.int32)])
-    valp = (jnp.concatenate([vals.astype(pdt), jnp.zeros((EC,), pdt)])
+    if x.shape[0] < SR:       # tiny operand: pad so the slice is legal
+        x = jnp.concatenate(
+            [x, jnp.zeros((SR - x.shape[0], K), x.dtype)])
+    colp = jnp.concatenate([cols, jnp.zeros((ECW,), jnp.int32)])
+    valp = (jnp.concatenate([vals, jnp.zeros((ECW,), vals.dtype)])
             if vals is not None else None)
+    # row-pointer rows padded so any (rlo, CRW+1) slice is legal
+    rp_pad = jnp.concatenate(
+        [rp, jnp.repeat(rp[:, -1:], CRW + 1, axis=1)], axis=1)
 
-    row_pad = num_tiles * R - out_rows
-    arange_tp = jnp.arange(num_tiles + 1, dtype=jnp.int32) * R
+    arange_tp = jnp.arange(T + 1, dtype=jnp.int32) * R
 
-    def body(s, carry):
+    def body(k, carry):
         out, extra = carry
-        w0 = rp[s, 0]
-        cnt = rp[s, out_rows] - w0
-        rp_l = jnp.clip(rp[s] - w0, 0, EC).astype(jnp.int32)
-        rp_full = jnp.concatenate(
-            [rp_l, jnp.broadcast_to(cnt.astype(jnp.int32), (row_pad,))])
-        bounds_start, bounds_end = _row_bounds(rp_full, num_tiles, R, EC)
-        tp = rp_full[jnp.minimum(arange_tp, num_tiles * R)]
-        items = _work_items_chunk_major(tp, NCE, num_tiles, E)
+        s = k // W
+        w = k % W
+        e0 = rp[s, 0] + w * ECW
+        cnt_w = jnp.clip(rp[s, out_rows] - e0, 0, ECW)
+        r0 = rlo[k]
+        rp_l = jnp.clip(
+            jax.lax.dynamic_slice(rp_pad[s], (r0,), (CRW + 1,)) - e0,
+            0, cnt_w).astype(jnp.int32)
+        bounds_start, bounds_end = _row_bounds(rp_l, T, R, ECW)
+        tp = rp_l[arange_tp]
+        items = _work_items_chunk_major(tp, NCE, T, E)
 
-        cols_l = jax.lax.dynamic_slice(colp, (w0,), (EC,))
+        cols_l = jax.lax.dynamic_slice(colp, (e0,), (ECW,))
         src = jax.lax.optimization_barrier(jax.lax.dynamic_slice(
-            x_pad, ((s * SR).astype(jnp.int32), jnp.int32(0)), (SR, K)))
-        raw = jnp.take(src, cols_l, axis=0, mode="clip")
+            x, (jnp.take(sbase, s), jnp.int32(0)), (SR, K)))
+        raw = jnp.take(src, cols_l, axis=0, mode="clip").astype(pdt)
         prod = raw if valp is None else (
-            raw * jax.lax.dynamic_slice(valp, (w0,), (EC,))[:, None])
+            raw * jax.lax.dynamic_slice(valp, (e0,), (ECW,)
+                                        )[:, None].astype(pdt))
         out = _reduce_call(bounds_start, bounds_end, prod, items,
-                           num_tiles, R, E, K, split=True,
-                           interpret=interpret, acc=out)
-        if extra_per_seg is not None:
-            extra = extra.at[s].set(extra_per_seg(s, raw, cols_l, w0))
+                           T, R, E, K, split=True, interpret=interpret,
+                           acc=out, tile_base=(r0 // R)[None])
+        if extra_per_win is not None:
+            extra = extra.at[k].set(extra_per_win(k, raw, e0))
         return out, extra
 
-    out0 = jnp.zeros(((num_tiles + 1) * R, K), jnp.float32)
-    extra0 = (jnp.zeros((S, EC), jnp.float32)
-              if extra_per_seg is not None else jnp.zeros((0,)))
-    out, extra = jax.lax.fori_loop(0, S, body, (out0, extra0))
+    out0 = jnp.zeros((buf_tiles * R, K), jnp.float32)
+    extra0 = (jnp.zeros((S * W, ECW), jnp.float32)
+              if extra_per_win is not None else jnp.zeros((0,)))
+    out, extra = jax.lax.fori_loop(0, S * W, body, (out0, extra0))
     return out[:out_rows], extra
 
 
 def _fwd_impl(plan: Seg2Plan, s: Seg2Structure, packed_value, x):
     from .kernels.spmm_pallas import _product_dtype
     pdt = _product_dtype(packed_value, x, plan.stream)
-    out, _ = _seg_pass(s.col_f, s.rp_f, packed_value, x,
-                       out_rows=plan.num_rows, S=plan.S, SR=plan.SR,
-                       EC=plan.EC, E=plan.chunk,
-                       interpret=plan.interpret, pdt=pdt)
+    out, _ = _seg_pass(s.col_f, s.rp_f, s.sbase_f, s.rlo_f, packed_value,
+                       x, out_rows=plan.num_rows, S=plan.S, SR=plan.SR,
+                       W=plan.W, ECW=plan.ECW, CRW=plan.CRW,
+                       E=plan.chunk, interpret=plan.interpret, pdt=pdt)
     return out
 
 
@@ -343,29 +412,31 @@ def _spmm_seg2_bwd(plan, res, g):
     if packed_value is not None:
         value_t = jnp.take(packed_value, s.relay_ft)
         xrow_p = jnp.concatenate(
-            [s.xrow_t, jnp.zeros((plan.EC_t,), jnp.int32)])
-        x_n = x.astype(pdt)
+            [s.xrow_t, jnp.zeros((plan.ECW_t,), jnp.int32)])
 
-        def sddmm(si, g_raw, cols_l, w0):
+        def sddmm(k, g_raw, e0):
             # shares the fast g-gather (g_raw); x rows come from the
             # big-source gather (slow mode — the one unavoidable big
-            # gather of the backward)
-            xr = jnp.take(x_n, jax.lax.dynamic_slice(
-                xrow_p, (w0,), (plan.EC_t,)), axis=0, mode="clip")
+            # gather of the backward); the bf16 cast fuses into it
+            xr = jnp.take(x, jax.lax.dynamic_slice(
+                xrow_p, (e0,), (plan.ECW_t,)), axis=0,
+                mode="clip").astype(pdt)
             return (g_raw.astype(jnp.float32)
                     * xr.astype(jnp.float32)).sum(axis=1)
 
         d_x, dv_stack = _seg_pass(
-            s.col_t, s.rp_t, value_t, g, out_rows=plan.num_cols,
-            S=plan.S_t, SR=plan.SR_t, EC=plan.EC_t, E=plan.chunk,
-            interpret=plan.interpret, pdt=pdt, extra_per_seg=sddmm)
+            s.col_t, s.rp_t, s.sbase_t, s.rlo_t, value_t, g,
+            out_rows=plan.num_cols, S=plan.S_t, SR=plan.SR_t,
+            W=plan.W_t, ECW=plan.ECW_t, CRW=plan.CRW_t, E=plan.chunk,
+            interpret=plan.interpret, pdt=pdt, extra_per_win=sddmm)
         d_value = jnp.take(dv_stack.reshape(-1), s.dv_map,
                            mode="clip").astype(packed_value.dtype)
     else:
         d_value = None
-        d_x, _ = _seg_pass(s.col_t, s.rp_t, None, g,
+        d_x, _ = _seg_pass(s.col_t, s.rp_t, s.sbase_t, s.rlo_t, None, g,
                            out_rows=plan.num_cols, S=plan.S_t,
-                           SR=plan.SR_t, EC=plan.EC_t, E=plan.chunk,
+                           SR=plan.SR_t, W=plan.W_t, ECW=plan.ECW_t,
+                           CRW=plan.CRW_t, E=plan.chunk,
                            interpret=plan.interpret, pdt=pdt)
     d_s = jax.tree_util.tree_map(
         lambda a: np.zeros(a.shape, jax.dtypes.float0), s)
