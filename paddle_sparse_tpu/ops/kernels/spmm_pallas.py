@@ -598,6 +598,103 @@ def spmm_sddmm_chunked(rowptr_t: jax.Array, row_t: jax.Array,
     return d_x, dv_t
 
 
+def _band_reduce_kernel(span_ref, row0_ref, nj_ref, bs_ref, be_ref,
+                        chunk_ref, out_ref, *, R: int, E: int,
+                        BR_pad: int, TMAX: int, split: bool):
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    e_ids = jax.lax.broadcasted_iota(jnp.int32, (R, E), 1) + c * E
+    p = chunk_ref[:]
+    dn = (((1,), (0,)), ((), ()))
+    base = span_ref[c] * BR_pad + row0_ref[c]
+    for j in range(TMAX):
+        @pl.when(j < nj_ref[c])
+        def _():
+            rloc = row0_ref[c] + j * R
+            st = bs_ref[pl.ds(base + j * R, R), :]
+            en = be_ref[pl.ds(base + j * R, R), :]
+            sel = (e_ids >= st) & (e_ids < en)
+            if p.dtype == jnp.bfloat16:
+                acc = jax.lax.dot_general(
+                    sel.astype(jnp.bfloat16), p, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+            elif split:
+                sel16 = sel.astype(jnp.bfloat16)
+                hi = p.astype(jnp.bfloat16)
+                lo = (p - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                acc = jax.lax.dot_general(
+                    sel16, hi, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+                acc = acc + jax.lax.dot_general(
+                    sel16, lo, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+            else:
+                acc = jax.lax.dot_general(
+                    sel.astype(jnp.float32), p, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            out_ref[pl.ds(rloc, R), :] += acc
+
+
+def band_reduce_call(chunk_span, chunk_row0, chunk_nj, bounds_start,
+                     bounds_end, stream2d, *, S: int, BR_pad: int,
+                     E: int, K: int, R: int = 128, TMAX: int,
+                     split: bool = True, interpret: bool = False):
+    """Band-resident streaming row reduction.
+
+    The whole output band ((BR_pad, K) f32) and the per-(span, row)
+    bounds ((S*BR_pad, 1) x2) stay VMEM-resident for the entire call;
+    the grid walks the band's stacked edge-window stream chunk by chunk.
+    Each chunk lies inside ONE span (the stream is span-major,
+    chunk-aligned) and touches a handful of consecutive row tiles
+    (``chunk_row0``/``chunk_nj``, 8-aligned / tile counts).  This kills
+    the dominant cost of the per-tile-blocked variant: the ~1.3 us/item
+    fixed overhead of tiny per-step bounds/out block DMAs (measured
+    r4 — experiments/r4_reduce_cost.py) and the S-fold output
+    re-accumulation traffic, since one band pass folds ALL spans.
+
+    Requires ``vmem_limit_bytes`` headroom: out band + bounds + chunk
+    double-buffers (v5e has 128 MB physical VMEM; the default compiler
+    cap is 16 MB)."""
+    nchunks = stream2d.shape[0] // E
+    vmem = (BR_pad * K * 4 + 2 * S * BR_pad * 4 + 4 * E * K
+            * stream2d.dtype.itemsize + (4 << 20))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((S * BR_pad, 1), lambda c, s, r, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S * BR_pad, 1), lambda c, s, r, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, K), lambda c, s, r, n: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BR_pad, K), lambda c, s, r, n: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_band_reduce_kernel, R=R, E=E,
+                               BR_pad=BR_pad, TMAX=TMAX, split=split)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BR_pad, K), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem), 110 << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nchunks * 2 * R * E * K * (2 if split else 6),
+            bytes_accessed=nchunks * E * K * stream2d.dtype.itemsize
+            + BR_pad * K * 4 + 2 * S * BR_pad * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(chunk_span, chunk_row0, chunk_nj, bounds_start, bounds_end,
+      stream2d)
+
+
 def sddmm_dot_chunked(row: jax.Array, col: jax.Array, g: jax.Array,
                       x: jax.Array, target_bytes: int = 512 * 1024 * 1024,
                       out_dtype=None) -> jax.Array:
