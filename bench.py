@@ -202,17 +202,16 @@ def measure(backend: str, scale: float, graph: str = "uniform",
                                                      pack_values,
                                                      spmm_seg2)
         sr_env = os.environ.get("PSP_SEG2_SR")
-        band_env = os.environ.get("PSP_SEG2_BAND")
+        win_mb = int(os.environ.get("PSP_SEG2_WINMB", "512"))
         chunk = int(os.environ.get("PSP_SEG2_CHUNK", "512"))
         plan, structure = make_seg2_plan(row, col, num_nodes, num_nodes,
                                          feat_dim=dim,
                                          sr=int(sr_env) if sr_env
                                          else None,
-                                         band_rows=int(band_env)
-                                         if band_env else None,
+                                         window_bytes=win_mb << 20,
                                          chunk_edges=chunk)
-        _log(f"seg2 plan: S={plan.S} BAND={plan.BAND} cap={plan.cap} "
-             f"TMAX={plan.TMAX} bands={plan.bands} chunk={plan.chunk}")
+        _log(f"seg2 plan: S={plan.S} W={plan.W} ECW={plan.ECW} "
+             f"CRW={plan.CRW} chunk={plan.chunk}")
         packed = pack_values(structure, value)
         jax.block_until_ready((structure, packed))
         # free arrays the timed loop never touches (full scale is HBM

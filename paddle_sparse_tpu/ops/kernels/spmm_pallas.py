@@ -607,23 +607,29 @@ def _band_reduce_kernel(span_ref, row0_ref, nj_ref, bs_ref, be_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    e_ids = jax.lax.broadcasted_iota(jnp.int32, (R, E), 1) + c * E
+    # TRANSPOSED selection: edges on sublanes, rows on lanes — the
+    # bounds live lane-packed ((rows/128, 128) int32; a (rows, 1) layout
+    # wastes 128x of VMEM) and one packed row holds the 128 bounds of a
+    # row tile, broadcast down the chunk's edge dimension.
+    e_ids_t = jax.lax.broadcasted_iota(jnp.int32, (E, R), 0) + c * E
     p = chunk_ref[:]
-    dn = (((1,), (0,)), ((), ()))
-    base = span_ref[c] * BR_pad + row0_ref[c]
+    # contract dim 0 of both: sel_t^T @ p on the MXU
+    dn = (((0,), (0,)), ((), ()))
+    row0 = pl.multiple_of(row0_ref[c], R)
+    basep = (span_ref[c] * BR_pad + row0) // R
     for j in range(TMAX):
         @pl.when(j < nj_ref[c])
         def _():
-            rloc = row0_ref[c] + j * R
-            st = bs_ref[pl.ds(base + j * R, R), :]
-            en = be_ref[pl.ds(base + j * R, R), :]
-            sel = (e_ids >= st) & (e_ids < en)
+            rloc = pl.multiple_of(row0 + j * R, R)
+            st = bs_ref[pl.ds(basep + j, 1), :]      # (1, R) lane-packed
+            en = be_ref[pl.ds(basep + j, 1), :]
+            sel_t = (e_ids_t >= st) & (e_ids_t < en)   # (E, R)
             if p.dtype == jnp.bfloat16:
                 acc = jax.lax.dot_general(
-                    sel.astype(jnp.bfloat16), p, dimension_numbers=dn,
+                    sel_t.astype(jnp.bfloat16), p, dimension_numbers=dn,
                     preferred_element_type=jnp.float32)
             elif split:
-                sel16 = sel.astype(jnp.bfloat16)
+                sel16 = sel_t.astype(jnp.bfloat16)
                 hi = p.astype(jnp.bfloat16)
                 lo = (p - hi.astype(jnp.float32)).astype(jnp.bfloat16)
                 acc = jax.lax.dot_general(
@@ -634,7 +640,7 @@ def _band_reduce_kernel(span_ref, row0_ref, nj_ref, bs_ref, be_ref,
                     preferred_element_type=jnp.float32)
             else:
                 acc = jax.lax.dot_general(
-                    sel.astype(jnp.float32), p, dimension_numbers=dn,
+                    sel_t.astype(jnp.float32), p, dimension_numbers=dn,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
             out_ref[pl.ds(rloc, R), :] += acc
@@ -657,19 +663,23 @@ def band_reduce_call(chunk_span, chunk_row0, chunk_nj, bounds_start,
     r4 — experiments/r4_reduce_cost.py) and the S-fold output
     re-accumulation traffic, since one band pass folds ALL spans.
 
+    ``bounds_start``/``bounds_end`` are lane-packed:
+    (S*BR_pad//R, R) int32 — packed row ``(s*BR_pad + r0)//R`` holds the
+    bounds of rows ``r0..r0+R`` of span ``s``.
+
     Requires ``vmem_limit_bytes`` headroom: out band + bounds + chunk
     double-buffers (v5e has 128 MB physical VMEM; the default compiler
     cap is 16 MB)."""
     nchunks = stream2d.shape[0] // E
-    vmem = (BR_pad * K * 4 + 2 * S * BR_pad * 4 + 4 * E * K
-            * stream2d.dtype.itemsize + (4 << 20))
+    vmem = (2 * BR_pad * K * 4 + 2 * S * BR_pad * 4 + 6 * E * K
+            * stream2d.dtype.itemsize + (8 << 20))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nchunks,),
         in_specs=[
-            pl.BlockSpec((S * BR_pad, 1), lambda c, s, r, n: (0, 0),
+            pl.BlockSpec((S * BR_pad // R, R), lambda c, s, r, n: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S * BR_pad, 1), lambda c, s, r, n: (0, 0),
+            pl.BlockSpec((S * BR_pad // R, R), lambda c, s, r, n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((E, K), lambda c, s, r, n: (c, 0),
                          memory_space=pltpu.VMEM),

@@ -1,39 +1,41 @@
-"""Segment-gathered, band-reduced SpMM — the round-4 flagship path.
+"""Segment-outer source-blocked SpMM — the round-4 flagship path.
 
-Measured basis (TPU v5e, experiments/r4_gather_curve.py, r4_gather_width.py,
-r4_gather_insitu.py, r4_reduce_cost.py):
+Measured basis (TPU v5e, experiments/r4_gather_curve.py / r4_gather_width.py):
 
-* XLA's materializing row-gather runs ~217M rows/s when the source
-  buffer is at most ~64 MB (the gate is source *bytes*; offsets may be
-  traced) vs ~100-130M rows/s for big sources.  Independent gathers do
-  not overlap; sorted indices are not faster; the multiply by ``value``
-  rides along free.
-* The round-3 work-item reduction kernel costs ~1.3 us of fixed
-  overhead per (chunk, tile) grid step — per-step tiny bounds/output
-  block DMAs — which at S gather segments implies S x (rows/128) paid
-  steps per full pass: ~0.8 s/iteration at ogbn-products scale, larger
-  than the gather itself.
+* XLA's materializing row-gather runs ~2x faster (190M rows/s, bf16
+  K=256) when the source buffer is at most ~64 MB — regardless of source
+  ROW count; the gate is source *bytes* (the emitter keeps a small source
+  resident on-chip).  Larger sources run ~100-120M rows/s.
+* Independent gathers do not overlap; sorted indices are not faster; the
+  per-edge multiply by ``value`` rides along free.
 
-Design:
+Round-3's ``spmm_seg`` exploited the same fast mode but looped
+(row-block x segment) windows, re-slicing each 64 MB segment once per
+row block (~150 GB of copies at ogbn-products scale) and paying the
+work-item kernel's tile-visit overhead per window — it tied the flagship
+in situ.  This module restructures the computation *segment-outer*, with
+each segment's edge window processed in W bounded sub-windows so the
+product stream never exceeds a few hundred MB of HBM (full-scale
+operands OOM'd a 16 GB chip otherwise):
 
-1. **Gather segment-wise** (fast mode): edges are (x-segment, row)-
-   sorted; each segment's rows are gathered from a <= 64 MB slice of the
-   dense operand.
-2. **Reduce band-wise**: output rows are cut into bands sized so a whole
-   band (f32) plus its per-(segment, row) bounds fit VMEM (v5e has
-   128 MB physical VMEM; the default 16 MB compiler cap is raised).  For
-   one band, ALL segments' edge windows are gathered into one stacked
-   stream and a single Pallas call (``band_reduce_call``) folds every
-   segment's contribution: the band and bounds stay VMEM-resident for
-   the whole call, the grid walks edge chunks only, and each chunk
-   touches a couple of consecutive 128-row slices via an inner loop.
-   No cross-pass output accumulation ever touches HBM.
+    for s in segments:                   # S = ceil(N / SR) passes
+      for w in sub-windows(s):           # bounded edge windows
+        src  = x[sbase[s] : +SR]         # 64 MB slice (fast-mode gate)
+        prod = take(src, local_cols) * vals        # FAST gather
+        out[rlo..rlo+CRW] += reduce_rows(prod)     # Pallas, in-place
+
+The reduction kernel accumulates IN PLACE into the full running output
+(``input_output_aliases`` + a tile offset fed through scalar prefetch):
+a sub-window touches only its own row range — one read + one write per
+visited tile per pass, nothing else moves.  Edges are (segment,
+row)-sorted, so each sub-window's rows are a contiguous range whose
+tile-aligned starts (``rlo``) are precomputed at plan time.
 
 Values live in the packed (segment, row)-sorted layout (convert once
 with :func:`pack_values` — like CSR keeps values in CSR order).  The
 backward runs the same machinery over the transpose structure
 (d_x = A^T @ g with g-segments in fast mode) and fuses the SDDMM
-value-gradient into the same band passes, sharing the fast g-gather.
+value-gradient into the same pass, sharing the fast g-gather.
 
 The reference has no SpMM (unsupported list, /root/reference/README.md:45);
 the functional contract implemented here is the upstream one documented
@@ -48,10 +50,10 @@ import jax.numpy as jnp
 import numpy as np
 
 # fast-gather source ceiling (bytes), measured on v5e: 64 MB sources hit
-# ~190-217M rows/s; 128 MB fall to ~100M rows/s
+# ~190M rows/s; 128 MB fall to ~100M rows/s
 FAST_SRC_BYTES = 64 << 20
-# VMEM budget for the resident output band (f32)
-BAND_VMEM_BYTES = 28 << 20
+# per-sub-window product-stream budget (bytes of gathered rows)
+WINDOW_BYTES = 384 << 20
 
 
 class Seg2Plan(NamedTuple):
@@ -60,25 +62,17 @@ class Seg2Plan(NamedTuple):
     num_cols: int
     S: int             # source segments (forward)
     SR: int            # rows per source segment (power of two)
-    BAND: int          # output rows per band (multiple of 128)
-    cap: int           # edge capacity per (band, segment) window
-    TMAX: int          # max 128-row slices a chunk touches
+    W: int             # sub-windows per segment
+    ECW: int           # edge capacity per sub-window (chunk-padded)
+    CRW: int           # max row span per sub-window (tile-padded)
     S_t: int           # transpose-side geometry (source = g)
     SR_t: int
-    BAND_t: int
-    cap_t: int
-    TMAX_t: int
+    W_t: int
+    ECW_t: int
+    CRW_t: int
     chunk: int = 512   # kernel edge-chunk size E
     interpret: bool = False
     stream: str = "f32"
-
-    @property
-    def bands(self) -> int:
-        return -(-self.num_rows // self.BAND)
-
-    @property
-    def bands_t(self) -> int:
-        return -(-self.num_cols // self.BAND_t)
 
 
 class Seg2Structure(NamedTuple):
@@ -89,15 +83,17 @@ class Seg2Structure(NamedTuple):
     jitted code as ARGUMENTS (remote-compile transports reject giant
     constants)."""
     col_f: jax.Array       # (nnz,) source-slice-LOCAL cols, fwd layout
-    rp_f: jax.Array        # (S, bands*BAND+1) padded abs row pointers
+    rp_f: jax.Array        # (S, M+1) absolute row pointers per segment
     perm_f: jax.Array      # (nnz,) fwd position -> COO position
     sbase_f: jax.Array     # (S,) source slice base rows (clamped)
+    rlo_f: jax.Array       # (S*W,) tile-aligned first row per sub-window
     col_t: jax.Array       # (nnz,) slice-local g-rows, transpose layout
-    rp_t: jax.Array        # (S_t, bands_t*BAND_t+1)
+    rp_t: jax.Array        # (S_t, N+1) absolute out-row pointers
     sbase_t: jax.Array     # (S_t,)
+    rlo_t: jax.Array       # (S_t*W_t,)
     xrow_t: jax.Array      # (nnz,) global x-row (= colA) per t-edge
     relay_ft: jax.Array    # (nnz,) t position -> fwd position (values)
-    dv_map: jax.Array      # (nnz,) fwd position -> dv band-window slot
+    dv_map: jax.Array      # (nnz,) fwd position -> dv sub-window slot
 
 
 def _lg2(v: int) -> int:
@@ -111,11 +107,6 @@ def _pick_sr(num_src_rows: int, feat_dim: int, stream_bytes: int) -> int:
     while sr // 2 >= num_src_rows and sr > 8:
         sr //= 2
     return sr
-
-
-def _pick_band(feat_dim: int) -> int:
-    rows = BAND_VMEM_BYTES // max(1, feat_dim * 4)
-    return max(128, (rows // 128) * 128)
 
 
 def _counting_order(bucket: jax.Array, S: int):
@@ -156,57 +147,11 @@ def _seg_rowptrs(seg_sorted: jax.Array, row_sorted: jax.Array, S: int,
     return within + base[:, None]
 
 
-def _pad_rp(rp, M: int, rows_pad: int):
-    """Pad the row dimension of (S, M+1) pointers to rows_pad+1 columns
-    with each segment's end value (empty trailing rows)."""
-    if rows_pad == M:
-        return rp
-    return jnp.concatenate(
-        [rp, jnp.repeat(rp[:, -1:], rows_pad - M, axis=1)], axis=1)
-
-
-@functools.partial(jax.jit, static_argnames=("S", "BAND", "bands"))
-def _band_windows(rp, *, S: int, BAND: int, bands: int):
-    """Plan-time (device): max edges over (band, segment) windows."""
-    idx = jnp.arange(bands + 1, dtype=jnp.int32) * BAND
-    sl = jnp.take(rp, idx, axis=1)              # (S, bands+1)
-    return (sl[:, 1:] - sl[:, :-1]).max()
-
-
-@functools.partial(jax.jit, static_argnames=("S", "BAND", "bands",
-                                             "cap", "E"))
-def _band_spans(rp, *, S: int, BAND: int, bands: int, cap: int, E: int):
-    """Plan-time (device): max row span (from the 8-aligned first row)
-    any E-edge chunk touches — bounds the kernel's inner slice loop."""
-    ncs = max(1, cap // E)
-
-    def one_band(b):
-        sl = jax.lax.dynamic_slice(
-            rp, (jnp.int32(0), (b * BAND).astype(jnp.int32)),
-            (S, BAND + 1))
-        local = sl - sl[:, :1]
-
-        def one_seg(loc):
-            q = jnp.arange(ncs, dtype=jnp.int32) * E
-            r_lo = jnp.clip(
-                jnp.searchsorted(loc, q, side="right") - 1, 0, BAND - 1)
-            r_hi = jnp.clip(
-                jnp.searchsorted(loc, q + E, side="left") - 1, 0,
-                BAND - 1)
-            return (jnp.maximum(r_hi, r_lo)
-                    - (r_lo // 8) * 8 + 1).max()
-
-        return jax.vmap(one_seg)(local).max()
-
-    return jax.lax.map(one_band,
-                       jnp.arange(bands, dtype=jnp.int32)).max()
-
-
 def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
                    feat_dim: int, stream: Optional[str] = None,
                    chunk_edges: int = 512,
                    sr: Optional[int] = None,
-                   band_rows: Optional[int] = None):
+                   window_bytes: int = WINDOW_BYTES):
     """Plan builder (eager; concrete indices).  Returns
     ``(plan, structure)`` for :func:`spmm_seg2`.
 
@@ -216,8 +161,9 @@ def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
     ogbn-products scale overflows HBM; only a few scalars (window
     maxima) reach the host.
 
-    CONTRACT: ``row`` sorted ascending (canonical COO order).  ``sr`` /
-    ``band_rows`` override the measured geometry (testing/tuning)."""
+    CONTRACT: ``row`` sorted ascending (canonical COO order).  ``sr``
+    overrides the measured fast-gather segment size (power of two;
+    testing/tuning only)."""
     from .kernels.spmm_pallas import _stream_env
 
     stream = stream or _stream_env()
@@ -239,17 +185,11 @@ def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
     S = max(1, cdiv(N, SR))
     SR_t = sr or _pick_sr(M, feat_dim, stream_bytes)
     S_t = max(1, cdiv(M, SR_t))
-    BAND = band_rows or _pick_band(feat_dim)
-    BAND_t = BAND
-    bands = max(1, cdiv(M, BAND))
-    bands_t = max(1, cdiv(N, BAND_t))
-    E = chunk_edges
 
     # ---- phase 1: forward layout (bucket by x-segment; rows stay
     # sorted within each segment because the input is row-sorted) -------
-    @functools.partial(jax.jit, static_argnames=("S", "SR", "M", "N",
-                                                 "rows_pad"))
-    def build_fwd(row, col, *, S, SR, M, N, rows_pad):
+    @functools.partial(jax.jit, static_argnames=("S", "SR", "M", "N"))
+    def build_fwd(row, col, *, S, SR, M, N):
         sorted_ok = jnp.all(jnp.diff(row) >= 0) if row.shape[0] else \
             jnp.bool_(True)
         seg = (col >> _lg2(SR)).astype(jnp.int32)
@@ -259,12 +199,12 @@ def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
             jnp.arange(S, dtype=jnp.int32) * SR,
             jnp.int32(max(0, N - SR)))   # clamped: last slice stays in x
         col_f = jnp.take(col, order_f) - jnp.take(sbase, seg_f)
-        rp_f = _pad_rp(_seg_rowptrs(seg_f, jnp.take(row, order_f), S, M),
-                       M, rows_pad)
-        return order_f, col_f, rp_f, sbase, sorted_ok
+        rp_f = _seg_rowptrs(seg_f, jnp.take(row, order_f), S, M)
+        max_f = (rp_f[:, -1] - rp_f[:, 0]).max()
+        return order_f, col_f, rp_f, sbase, max_f, sorted_ok
 
-    order_f, col_f, rp_f, sbase_f, sorted_ok = build_fwd(
-        row, col, S=S, SR=SR, M=M, N=N, rows_pad=bands * BAND)
+    order_f, col_f, rp_f, sbase_f, max_f, sorted_ok = build_fwd(
+        row, col, S=S, SR=SR, M=M, N=N)
     if not bool(sorted_ok):
         raise ValueError(
             "make_seg2_plan requires row indices sorted ascending "
@@ -272,9 +212,8 @@ def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
 
     # ---- phase 2: transpose layout (CSC order, then bucket by the
     # g-segment of the original row) ------------------------------------
-    @functools.partial(jax.jit, static_argnames=("S_t", "SR_t", "M", "N",
-                                                 "rows_pad"))
-    def build_t(row, col, *, S_t, SR_t, M, N, rows_pad):
+    @functools.partial(jax.jit, static_argnames=("S_t", "SR_t", "M", "N"))
+    def build_t(row, col, *, S_t, SR_t, M, N):
         perm_c = jnp.argsort(col, stable=True).astype(jnp.int32)
         rowc = jnp.take(row, perm_c)
         seg_t = (rowc >> _lg2(SR_t)).astype(jnp.int32)
@@ -286,61 +225,78 @@ def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
         col_t = jnp.take(rowc, order_t2) - jnp.take(
             sbase, jnp.take(seg_t, order_t2))
         xrow_t = jnp.take(jnp.take(col, perm_c), order_t2)
-        rp_t = _pad_rp(_seg_rowptrs(jnp.take(seg_t, order_t2), xrow_t,
-                                    S_t, N), N, rows_pad)
-        return perm_t, col_t, rp_t, sbase, xrow_t
+        rp_t = _seg_rowptrs(jnp.take(seg_t, order_t2), xrow_t, S_t, N)
+        max_t = (rp_t[:, -1] - rp_t[:, 0]).max()
+        return perm_t, col_t, rp_t, sbase, xrow_t, max_t
 
-    perm_t, col_t, rp_t, sbase_t, xrow_t = build_t(
-        row, col, S_t=S_t, SR_t=SR_t, M=M, N=N,
-        rows_pad=bands_t * BAND_t)
+    perm_t, col_t, rp_t, sbase_t, xrow_t, max_t = build_t(
+        row, col, S_t=S_t, SR_t=SR_t, M=M, N=N)
 
-    # ---- phase 3: band geometry (two host scalars per orientation) ----
-    cap = rnd(int(_band_windows(rp_f, S=S, BAND=BAND, bands=bands)), E)
-    span_f = _band_spans(rp_f, S=S, BAND=BAND, bands=bands, cap=cap,
-                         E=E)
-    TMAX = max(1, cdiv(int(span_f), 128) + 1)
-    cap_t = rnd(int(_band_windows(rp_t, S=S_t, BAND=BAND_t,
-                                  bands=bands_t)), E)
-    span_t = _band_spans(rp_t, S=S_t, BAND=BAND_t, bands=bands_t,
-                         cap=cap_t, E=E)
-    TMAX_t = max(1, cdiv(int(span_t), 128) + 1)
+    # ---- window geometry (host scalars -> static plan) -----------------
+    E = chunk_edges
+    win_edges = max(E, window_bytes // max(1, feat_dim * stream_bytes))
+    EC = rnd(int(max_f), E)
+    W = max(1, cdiv(EC, win_edges))
+    ECW = rnd(cdiv(EC, W), E)
+    EC_t = rnd(int(max_t), E)
+    W_t = max(1, cdiv(EC_t, win_edges))
+    ECW_t = rnd(cdiv(EC_t, W_t), E)
+
+    # ---- phase 3: per-sub-window row spans ----------------------------
+    @functools.partial(jax.jit, static_argnames=("W", "ECW", "M"))
+    def spans(rp, *, W, ECW, M):
+        # sub-window w of segment s covers edges
+        # [rp[s,0] + w*ECW, +ECW); rows are sorted within the segment so
+        # the touched rows are one contiguous range
+        base = rp[:, :1] + jnp.arange(W, dtype=jnp.int32)[None, :] * ECW
+
+        def seg_spans(rps, bases):
+            r_lo = jnp.clip(
+                jnp.searchsorted(rps, bases, side="right") - 1, 0, M - 1)
+            r_hi = jnp.clip(
+                jnp.searchsorted(rps, bases + ECW, side="left") - 1,
+                0, M - 1)
+            return r_lo, jnp.maximum(r_hi, r_lo)
+
+        r_lo, r_hi = jax.vmap(seg_spans)(rp, base)
+        rlo = ((r_lo // 128) * 128).astype(jnp.int32).reshape(-1)
+        span = (r_hi.reshape(-1) - rlo + 1).max()
+        return rlo, span
+
+    rlo_f, span_f = spans(rp_f, W=W, ECW=ECW, M=M)
+    rlo_t, span_t = spans(rp_t, W=W_t, ECW=ECW_t, M=N)
+    CRW = rnd(int(span_f), 128)
+    CRW_t = rnd(int(span_t), 128)
 
     # ---- phase 4: relays (precomposed scalar maps) ---------------------
-    @functools.partial(jax.jit, static_argnames=("S_t", "BAND_t",
-                                                 "cap_t"))
-    def relays(order_f, perm_t, wptr_t, rp_t, xrow_t, *, S_t, BAND_t,
-               cap_t):
+    @functools.partial(jax.jit, static_argnames=("W_t", "ECW_t"))
+    def relays(order_f, perm_t, wptr_t, *, W_t, ECW_t):
         nnz_ = order_f.shape[0]
         ar = jnp.arange(nnz_, dtype=jnp.int32)
         inv_f = jnp.zeros((nnz_,), jnp.int32).at[order_f].set(ar)
         inv_t = jnp.zeros((nnz_,), jnp.int32).at[perm_t].set(ar)
         relay_ft = jnp.take(inv_f, perm_t)       # t pos -> fwd pos
         relay_tf = jnp.take(inv_t, order_f)      # fwd pos -> t pos
-        # dv slot of each t position in the stacked per-band
-        # (bands_t, S_t*cap_t) buffer: window (band b, span s) starts at
-        # edge rp_t[s, b*BAND_t]
+        # dv slot of each t position in the stacked (S_t*W_t, ECW_t)
+        # buffer: sub-window k = s*W_t + (pos - wptr[s]) // ECW_t
         s_of_t = (jnp.searchsorted(wptr_t, ar, side="right") - 1
                   ).astype(jnp.int32)
-        # the transpose pass's output row of t-edge i IS xrow_t[i] (colA)
-        b_of_t = (xrow_t // BAND_t).astype(jnp.int32)
-        ncols = rp_t.shape[1]
-        w0 = jnp.take(rp_t.reshape(-1),
-                      s_of_t * ncols + b_of_t * BAND_t)
-        slot = (b_of_t * S_t + s_of_t) * cap_t + (ar - w0)
-        return relay_ft, jnp.take(slot, relay_tf)
+        off = ar - jnp.take(wptr_t, s_of_t)
+        slot_t = ((s_of_t * W_t + off // ECW_t) * ECW_t) + off % ECW_t
+        return relay_ft, jnp.take(slot_t, relay_tf)
 
     wptr_t = jnp.concatenate([rp_t[:, 0], rp_t[-1:, -1]])
-    relay_ft, dv_map = relays(order_f, perm_t, wptr_t, rp_t, xrow_t,
-                              S_t=S_t, BAND_t=BAND_t, cap_t=cap_t)
+    relay_ft, dv_map = relays(order_f, perm_t, wptr_t, W_t=W_t,
+                              ECW_t=ECW_t)
 
-    plan = Seg2Plan(M, N, S, SR, BAND, cap, TMAX, S_t, SR_t, BAND_t,
-                    cap_t, TMAX_t, chunk=E,
+    plan = Seg2Plan(M, N, S, SR, W, ECW, CRW, S_t, SR_t, W_t, ECW_t,
+                    CRW_t, chunk=E,
                     interpret=jax.default_backend() == "cpu",
                     stream=stream)
     structure = Seg2Structure(
         col_f=col_f, rp_f=rp_f, perm_f=order_f, sbase_f=sbase_f,
-        col_t=col_t, rp_t=rp_t, sbase_t=sbase_t, xrow_t=xrow_t,
-        relay_ft=relay_ft, dv_map=dv_map)
+        rlo_f=rlo_f, col_t=col_t, rp_t=rp_t, sbase_t=sbase_t,
+        rlo_t=rlo_t, xrow_t=xrow_t, relay_ft=relay_ft, dv_map=dv_map)
     return plan, structure
 
 
@@ -358,105 +314,86 @@ def unpack_values(s: Seg2Structure, packed: jax.Array) -> jax.Array:
     return jnp.zeros((nnz,), packed.dtype).at[s.perm_f].set(packed)
 
 
-def _band_pass(cols, rp, sbase, vals, x, *, out_rows: int, S: int,
-               SR: int, BAND: int, cap: int, TMAX: int, E: int,
-               interpret: bool, pdt, extra_per_span=None):
-    """Shared machinery: for each output band, gather every segment's
-    edge window (fast mode) into one stacked stream and fold it with a
-    single band-resident Pallas reduction.
+def _seg_pass(cols, rp, sbase, rlo, vals, x, *, out_rows: int, S: int,
+              SR: int, W: int, ECW: int, CRW: int, E: int,
+              interpret: bool, pdt, extra_per_win=None):
+    """Shared segment-outer pass: fast-mode gather + in-place accumulated
+    Pallas row reduction over S*W bounded sub-windows.
 
-    ``extra_per_span(s, raw_rows, e0)`` optionally computes a per-
-    (band, segment) side product (the fused SDDMM); stacked results
-    (bands, S*cap) are returned alongside the output."""
-    from .kernels.spmm_pallas import band_reduce_call
+    ``extra_per_win(k, raw_rows, e0)`` optionally computes a per-window
+    side product (the fused SDDMM); its stacked (S*W, ECW) results are
+    returned alongside the output."""
+    import jax.experimental.pallas as pl
+
+    from .kernels.spmm_pallas import (_reduce_call, _row_bounds,
+                                      _work_items_chunk_major)
 
     K = x.shape[1]
     R = 128
-    bands = -(-out_rows // BAND)
-    BR_pad = BAND + R
-    ncs = cap // E
+    T = CRW // R
+    NCE = ECW // E
+    # running buffer: enough tiles that any sub-window (tile_base + T +
+    # dummy) stays in range
+    buf_tiles = pl.cdiv(out_rows, R) + T + 1
 
+    # cast ONCE before slicing: the fast-gather mode is gated on source
+    # BYTES (~64 MB), so the slice must already be in the (narrow)
+    # stream dtype
     x = x.astype(pdt)
     if x.shape[0] < SR:       # tiny operand: pad so the slice is legal
         x = jnp.concatenate(
             [x, jnp.zeros((SR - x.shape[0], K), x.dtype)])
-    colp = jnp.concatenate([cols, jnp.zeros((cap,), jnp.int32)])
-    valp = (jnp.concatenate([vals, jnp.zeros((cap,), vals.dtype)])
+    colp = jnp.concatenate([cols, jnp.zeros((ECW,), jnp.int32)])
+    valp = (jnp.concatenate([vals, jnp.zeros((ECW,), vals.dtype)])
             if vals is not None else None)
+    # row-pointer rows padded so any (rlo, CRW+1) slice is legal
+    rp_pad = jnp.concatenate(
+        [rp, jnp.repeat(rp[:, -1:], CRW + 1, axis=1)], axis=1)
 
-    chunk_span = jnp.repeat(jnp.arange(S, dtype=jnp.int32), ncs)
+    arange_tp = jnp.arange(T + 1, dtype=jnp.int32) * R
 
-    def band_fn(b):
-        sl = jax.lax.dynamic_slice(
-            rp, (jnp.int32(0), (b * BAND).astype(jnp.int32)),
-            (S, BAND + 1))
-        local = sl - sl[:, :1]                   # (S, BAND+1)
-        win = local[:, -1]                       # edges per span
+    def body(k, carry):
+        out, extra = carry
+        s = k // W
+        w = k % W
+        e0 = rp[s, 0] + w * ECW
+        cnt_w = jnp.clip(rp[s, out_rows] - e0, 0, ECW)
+        r0 = rlo[k]
+        rp_l = jnp.clip(
+            jax.lax.dynamic_slice(rp_pad[s], (r0,), (CRW + 1,)) - e0,
+            0, cnt_w).astype(jnp.int32)
+        bounds_start, bounds_end = _row_bounds(rp_l, T, R, ECW)
+        tp = rp_l[arange_tp]
+        items = _work_items_chunk_major(tp, NCE, T, E)
 
-        # bounds, padded to BR_pad rows per span (empty pad rows)
-        offs = (jnp.arange(S, dtype=jnp.int32) * cap)[:, None]
-        padv = jnp.broadcast_to(win[:, None], (S, R))
-        bst = jnp.concatenate([local[:, :-1], padv], axis=1) + offs
-        ben = jnp.concatenate([local[:, 1:], padv], axis=1) + offs
-        bst = bst.reshape(-1, 1)
-        ben = ben.reshape(-1, 1)
+        cols_l = jax.lax.dynamic_slice(colp, (e0,), (ECW,))
+        src = jax.lax.optimization_barrier(jax.lax.dynamic_slice(
+            x, (jnp.take(sbase, s), jnp.int32(0)), (SR, K)))
+        raw = jnp.take(src, cols_l, axis=0, mode="clip")
+        prod = raw if valp is None else (
+            raw * jax.lax.dynamic_slice(valp, (e0,), (ECW,)
+                                        )[:, None].astype(pdt))
+        out = _reduce_call(bounds_start, bounds_end, prod, items,
+                           T, R, E, K, split=True, interpret=interpret,
+                           acc=out, tile_base=(r0 // R)[None])
+        if extra_per_win is not None:
+            extra = extra.at[k].set(extra_per_win(k, raw, e0))
+        return out, extra
 
-        # per-chunk first row / slice count
-        def seg_chunks(loc):
-            q = jnp.arange(ncs, dtype=jnp.int32) * E
-            r_lo = jnp.clip(
-                jnp.searchsorted(loc, q, side="right") - 1, 0, BAND - 1)
-            r_hi = jnp.clip(
-                jnp.searchsorted(loc, q + E, side="left") - 1, 0,
-                BAND - 1)
-            r0 = (r_lo // 8) * 8
-            nj = jnp.clip(-(-(jnp.maximum(r_hi, r_lo) - r0 + 1) // R),
-                          0, TMAX)
-            # empty chunk (start at/after span end): skip entirely
-            nj = jnp.where(q < loc[-1], nj, 0)
-            return r0, nj
-
-        r0s, njs = jax.vmap(seg_chunks)(local)
-        chunk_row0 = r0s.reshape(-1).astype(jnp.int32)
-        chunk_nj = njs.reshape(-1).astype(jnp.int32)
-
-        # stacked gather stream: one fast-mode gather per span
-        parts = []
-        extras = []
-        for s_i in range(S):
-            e0 = sl[s_i, 0]
-            cols_l = jax.lax.dynamic_slice(colp, (e0,), (cap,))
-            src = jax.lax.optimization_barrier(jax.lax.dynamic_slice(
-                x, (jnp.take(sbase, s_i), jnp.int32(0)), (SR, K)))
-            raw = jnp.take(src, cols_l, axis=0, mode="clip")
-            if valp is None:
-                parts.append(raw)
-            else:
-                vals_l = jax.lax.dynamic_slice(valp, (e0,), (cap,))
-                parts.append(raw * vals_l[:, None].astype(pdt))
-            if extra_per_span is not None:
-                extras.append(extra_per_span(s_i, raw, e0))
-        stream = jnp.concatenate(parts, axis=0)
-
-        out_b = band_reduce_call(
-            chunk_span, chunk_row0, chunk_nj, bst, ben, stream,
-            S=S, BR_pad=BR_pad, E=E, K=K, R=R, TMAX=TMAX,
-            split=True, interpret=interpret)[:BAND]
-        extra_b = (jnp.concatenate(extras)
-                   if extra_per_span is not None else jnp.zeros((0,)))
-        return out_b, extra_b
-
-    out, extra = jax.lax.map(band_fn, jnp.arange(bands, dtype=jnp.int32))
-    return out.reshape(bands * BAND, K)[:out_rows], extra
+    out0 = jnp.zeros((buf_tiles * R, K), jnp.float32)
+    extra0 = (jnp.zeros((S * W, ECW), jnp.float32)
+              if extra_per_win is not None else jnp.zeros((0,)))
+    out, extra = jax.lax.fori_loop(0, S * W, body, (out0, extra0))
+    return out[:out_rows], extra
 
 
 def _fwd_impl(plan: Seg2Plan, s: Seg2Structure, packed_value, x):
     from .kernels.spmm_pallas import _product_dtype
     pdt = _product_dtype(packed_value, x, plan.stream)
-    out, _ = _band_pass(s.col_f, s.rp_f, s.sbase_f, packed_value, x,
-                        out_rows=plan.num_rows, S=plan.S, SR=plan.SR,
-                        BAND=plan.BAND, cap=plan.cap, TMAX=plan.TMAX,
-                        E=plan.chunk, interpret=plan.interpret, pdt=pdt)
+    out, _ = _seg_pass(s.col_f, s.rp_f, s.sbase_f, s.rlo_f, packed_value,
+                       x, out_rows=plan.num_rows, S=plan.S, SR=plan.SR,
+                       W=plan.W, ECW=plan.ECW, CRW=plan.CRW,
+                       E=plan.chunk, interpret=plan.interpret, pdt=pdt)
     return out
 
 
@@ -483,34 +420,32 @@ def _spmm_seg2_bwd(plan, res, g):
     if packed_value is not None:
         value_t = jnp.take(packed_value, s.relay_ft)
         xrow_p = jnp.concatenate(
-            [s.xrow_t, jnp.zeros((plan.cap_t,), jnp.int32)])
+            [s.xrow_t, jnp.zeros((plan.ECW_t,), jnp.int32)])
 
-        def sddmm(s_i, g_raw, e0):
+        def sddmm(k, g_raw, e0):
             # shares the fast g-gather (g_raw); x rows come from the
             # big-source gather (slow mode — the one unavoidable big
-            # gather of the backward); the narrow cast fuses into it
+            # gather of the backward); the bf16 cast fuses into it
             xr = jnp.take(x, jax.lax.dynamic_slice(
-                xrow_p, (e0,), (plan.cap_t,)), axis=0,
+                xrow_p, (e0,), (plan.ECW_t,)), axis=0,
                 mode="clip").astype(pdt)
             return (g_raw.astype(jnp.float32)
                     * xr.astype(jnp.float32)).sum(axis=1)
 
-        d_x, dv_stack = _band_pass(
-            s.col_t, s.rp_t, s.sbase_t, value_t, g,
+        d_x, dv_stack = _seg_pass(
+            s.col_t, s.rp_t, s.sbase_t, s.rlo_t, value_t, g,
             out_rows=plan.num_cols, S=plan.S_t, SR=plan.SR_t,
-            BAND=plan.BAND_t, cap=plan.cap_t, TMAX=plan.TMAX_t,
-            E=plan.chunk, interpret=plan.interpret, pdt=pdt,
-            extra_per_span=sddmm)
+            W=plan.W_t, ECW=plan.ECW_t, CRW=plan.CRW_t, E=plan.chunk,
+            interpret=plan.interpret, pdt=pdt, extra_per_win=sddmm)
         d_value = jnp.take(dv_stack.reshape(-1), s.dv_map,
                            mode="clip").astype(packed_value.dtype)
     else:
         d_value = None
-        d_x, _ = _band_pass(s.col_t, s.rp_t, s.sbase_t, None, g,
-                            out_rows=plan.num_cols, S=plan.S_t,
-                            SR=plan.SR_t, BAND=plan.BAND_t,
-                            cap=plan.cap_t, TMAX=plan.TMAX_t,
-                            E=plan.chunk, interpret=plan.interpret,
-                            pdt=pdt)
+        d_x, _ = _seg_pass(s.col_t, s.rp_t, s.sbase_t, s.rlo_t, None, g,
+                           out_rows=plan.num_cols, S=plan.S_t,
+                           SR=plan.SR_t, W=plan.W_t, ECW=plan.ECW_t,
+                           CRW=plan.CRW_t, E=plan.chunk,
+                           interpret=plan.interpret, pdt=pdt)
     d_s = jax.tree_util.tree_map(
         lambda a: np.zeros(a.shape, jax.dtypes.float0), s)
     return d_s, d_value, d_x.astype(x.dtype)
