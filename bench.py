@@ -62,13 +62,16 @@ HBM_GBPS = {
 }
 
 # (backend, scale ladder small->large, budget share of the SpMM slice).
-# sell is NOT probed by default: measured r3, its forward is slower than
-# the pallas path at every non-toy size (retired as flagship; still
-# available via BENCH_BACKEND=sell / backend="sell").  xla is last: its
-# segment-sum compile alone exceeds most slices on this toolchain.
+# seg2 (segment-gathered SpMM, round 4) is the flagship: it exploits the
+# measured fast-gather mode (<=64MB sources ~2x the row rate) and runs
+# fwd+bwd at full scale.  pallas (round-3 chunked) is kept as a
+# comparison point at 1/8.  sell is NOT probed by default (measured r3:
+# slower everywhere); xla is last: its segment-sum compile alone exceeds
+# most slices on this toolchain.
 PROBE_PLAN = (
-    ("pallas_bf16", (0.125, 1.0), 0.70),
-    ("pallas", (0.0625,), 0.30),
+    ("seg2_bf16", (0.125, 1.0), 0.60),
+    ("pallas_bf16", (0.125,), 0.25),
+    ("pallas", (0.0625,), 0.15),
 )
 # the XLA oracle runs LAST with whatever budget remains: its segment-sum
 # compile alone takes ~6 min on this toolchain and cannot be interrupted
@@ -212,6 +215,8 @@ def measure(backend: str, scale: float, graph: str = "uniform",
                                          chunk_edges=chunk)
         _log(f"seg2 plan: S={plan.S} W={plan.W} ECW={plan.ECW} "
              f"CRW={plan.CRW} chunk={plan.chunk}")
+        if graph == "zipf":
+            capacity_blowup = round(plan.S * plan.W * plan.ECW / nnz, 2)
         packed = pack_values(structure, value)
         jax.block_until_ready((structure, packed))
         # free arrays the timed loop never touches (full scale is HBM
@@ -591,17 +596,29 @@ def main():
                 probe_log[f"{backend}@{scale}"] = err
                 break  # larger scales of a failing backend won't do better
 
-    # --- power-law probe on the best backend so far ---
+    # --- power-law probe at FULL scale (VERDICT r3 item 5: the
+    # realistic-graph headline) on the best backend so far ---
     powerlaw = None
     if os.environ.get("BENCH_POWERLAW", "1") != "0" and results and \
-            deadline - time.monotonic() > 60:
+            deadline - time.monotonic() > 120:
         best_backend = max(
             results, key=lambda b: max(frac_of(r) for r in results[b]))
-        r, err = run_probe(best_backend, 0.125,
-                           min(300.0, max(60.0, deadline - time.monotonic()
+        pl_scale = float(os.environ.get("BENCH_POWERLAW_SCALE", "1.0"))
+        r, err = run_probe(best_backend, pl_scale,
+                           min(450.0, max(120.0,
+                                          deadline - time.monotonic()
                                           - (280 if want_oracle else 5))),
                            graph="zipf")
-        powerlaw = ({"backend": best_backend,
+        if r is None and pl_scale > 0.125:
+            # full-scale zipf did not fit the remaining budget; record a
+            # 1/8-scale number rather than nothing
+            pl_scale = 0.125
+            r, err = run_probe(best_backend, pl_scale,
+                               max(60.0, deadline - time.monotonic()
+                                   - (280 if want_oracle else 5)),
+                               graph="zipf")
+        powerlaw = ({"backend": best_backend, "scale": pl_scale,
+                     "nnz": r["nnz"],
                      "fwd_ms": round(r["fwd_s"] * 1e3, 2),
                      "frac": round(frac_of(r), 4),
                      "capacity_blowup": r.get("capacity_blowup")}
