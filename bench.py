@@ -361,14 +361,20 @@ def measure(backend: str, scale: float, graph: str = "uniform",
 def spgemm_probe():
     """Secondary metric: SpGEMM (A@A) throughput on a synthetic graph;
     reported in detail (BASELINE.md row 3).  Runs FIRST in the harness in
-    a reserved budget slice (VERDICT r2 item 5)."""
+    a reserved budget slice (VERDICT r2 item 5).
+
+    Round 4: probes the batched-row-sort fast path
+    (``spspmm_rowsorted`` — VERDICT r3 item 3) alongside the global-sort
+    ESC, and reports a roofline fraction: model bytes = A triples read
+    per expansion (col+val of B per product, 8 B) + A read + C write."""
     import functools
 
     import jax
     import jax.numpy as jnp
     from paddle_sparse_tpu.core import PaddedCOO
-    from paddle_sparse_tpu.core.spgemm import spspmm_padded
-    from paddle_sparse_tpu.ops.spspmm import plan_spgemm
+    from paddle_sparse_tpu.core.spgemm import (spspmm_padded,
+                                               spspmm_rowsorted)
+    from paddle_sparse_tpu.ops.spspmm import plan_spgemm, plan_spgemm_rows
 
     num_nodes = int(os.environ.get("BENCH_SPGEMM_NODES", 50_000))
     deg = int(os.environ.get("BENCH_SPGEMM_DEG", 16))
@@ -392,43 +398,70 @@ def spgemm_probe():
     # exact_out=False: the exact planner runs a full dry SpGEMM (minutes
     # at probe scale); the flop bound is a valid if loose output bound
     flop_cap, out_cap = plan_spgemm(A, A, exact_out=False)
+    F, out_cap_r = plan_spgemm_rows(A, A)
     plan_s = time.perf_counter() - t0
-    _log(f"spgemm: plan done ({plan_s:.1f}s, caps={flop_cap}/{out_cap})")
+    _log(f"spgemm: plan done ({plan_s:.1f}s, caps={flop_cap}/{out_cap}, "
+         f"F={F})")
 
     import dataclasses
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(A, n):
-        def body(i, acc):
-            # chain indices AND values through the carry: the ESC
-            # expansion + sort depend only on indices, which XLA would
-            # otherwise hoist out of the loop as loop-invariant
-            z = (acc * 0.0).astype(A.row.dtype)
-            Ai = dataclasses.replace(A, row=A.row + z, col=A.col + z,
-                                     value=A.value + acc * 0.0)
-            res = spspmm_padded(Ai, Ai, flop_cap, out_cap)
-            return (jnp.sum(res.matrix.value) * 1e-12
-                    + res.matrix.nnz.astype(jnp.float32) * 0.0)
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+    def make_loop(fast: bool):
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def loop(A, n):
+            def body(i, acc):
+                # chain indices AND values through the carry: the ESC
+                # expansion + sort depend only on indices, which XLA
+                # would otherwise hoist as loop-invariant
+                z = (acc * 0.0).astype(A.row.dtype)
+                Ai = dataclasses.replace(A, row=A.row + z, col=A.col + z,
+                                         value=A.value + acc * 0.0)
+                if fast:
+                    res = spspmm_rowsorted(Ai, Ai, F, out_cap_r)
+                else:
+                    res = spspmm_padded(Ai, Ai, flop_cap, out_cap)
+                return (jnp.sum(res.matrix.value) * 1e-12
+                        + res.matrix.nnz.astype(jnp.float32) * 0.0)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+        return loop
 
-    iters = 5
-    t0 = time.perf_counter()
-    float(loop(A, n=iters))
-    compile_s = time.perf_counter() - t0
-    _log(f"spgemm: compile+warm done ({compile_s:.1f}s)")
-    t0 = time.perf_counter()
-    float(loop(A, n=iters))
-    per_iter = (time.perf_counter() - t0) / iters
-    res = spspmm_padded(A, A, flop_cap, out_cap)
-    c_nnz = int(res.matrix.nnz)
-    assert not bool(res.overflowed)
-    return {"a_nnz": int(A.nnz), "c_nnz": c_nnz,
-            "flop_cap": int(flop_cap), "out_cap": int(out_cap),
+    out = {"a_nnz": int(A.nnz), "flop_cap": int(flop_cap),
+           "row_flop_cap": F, "plan_s": round(plan_s, 2),
+           "unit": "Mnnz/s"}
+    bw = bandwidth_for(jax.devices()[0].device_kind)
+    variants = [("fast", True)] if F is not None else []
+    variants.append(("esc", False))
+    for name, fast in variants:
+        iters = 5
+        t0 = time.perf_counter()
+        loop = make_loop(fast)
+        float(loop(A, n=iters))
+        compile_s = time.perf_counter() - t0
+        _log(f"spgemm[{name}]: compile+warm done ({compile_s:.1f}s)")
+        t0 = time.perf_counter()
+        float(loop(A, n=iters))
+        per_iter = (time.perf_counter() - t0) / iters
+        res = (spspmm_rowsorted(A, A, F, out_cap_r) if fast
+               else spspmm_padded(A, A, flop_cap, out_cap))
+        c_nnz = int(res.matrix.nnz)
+        assert not bool(res.overflowed)
+        model_bytes = flop_cap * 8 + int(A.nnz) * 12 + c_nnz * 12
+        out[name] = {
             "s_per_iter": round(per_iter, 4),
             "c_nnz_per_s_M": round(c_nnz / per_iter / 1e6, 2),
             "flops_per_s_M": round(flop_cap / per_iter / 1e6, 2),
-            "unit": "Mnnz/s", "compile_s": round(compile_s, 2),
-            "plan_s": round(plan_s, 2)}
+            "roofline_frac": round(model_bytes / per_iter / (bw * 1e9),
+                                   4),
+            "compile_s": round(compile_s, 2)}
+        out["c_nnz"] = c_nnz
+        # headline SpGEMM numbers mirror the best variant
+        if "c_nnz_per_s_M" not in out or \
+                out[name]["c_nnz_per_s_M"] > out.get("c_nnz_per_s_M", 0):
+            out["c_nnz_per_s_M"] = out[name]["c_nnz_per_s_M"]
+            out["s_per_iter"] = out[name]["s_per_iter"]
+            out["roofline_frac"] = out[name]["roofline_frac"]
+            out["backend"] = name
+        _log(f"spgemm[{name}]: {out[name]}")
+    return out
 
 
 def smoke():

@@ -45,9 +45,12 @@ def spspmm_padded(A: PaddedCOO, B: PaddedCOO, flop_capacity: int,
     total = ptrE[-1]
 
     # --- materialize the padded multiplication stream ------------------
+    # scatter+cummax expansion, not searchsorted: the binary search
+    # lowers to ~log(nnz) chained full-stream gathers (~2.5 s at probe
+    # scale, the real round-3 bottleneck — not the sort)
+    from ..ops.convert import _expand_ptr
     t = jnp.arange(flop_capacity, dtype=ptrE.dtype)
-    a_id = jnp.clip(jnp.searchsorted(ptrE, t, side="right") - 1, 0,
-                    A.capacity - 1)
+    a_id = jnp.clip(_expand_ptr(ptrE, flop_capacity), 0, A.capacity - 1)
     valid_t = t < total
     b_pos = jnp.clip(rowptrB[colA[a_id]] + (t - ptrE[a_id]), 0,
                      B.capacity - 1)
@@ -139,3 +142,113 @@ def matmul_padded(A: PaddedCOO, B: PaddedCOO, flop_capacity: int,
                   out_capacity: int) -> PaddedCOO:
     """Convenience wrapper discarding the overflow flag."""
     return spspmm_padded(A, B, flop_capacity, out_capacity).matrix
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def spspmm_rowsorted(A: PaddedCOO, B: PaddedCOO, row_flop_capacity: int,
+                     out_capacity: int) -> SpGEMMResult:
+    """C = A @ B via ESC with a BATCHED per-row sort — the round-4 fast
+    path (VERDICT r3 item 3; the reference's phmap-based intent,
+    /root/reference/csrc/cpu/utils.h:4).
+
+    The expansion stream inherits A's row order, so output rows are
+    already sorted and the ESC sort only needs to order columns WITHIN
+    each row.  Laying the stream out as an (M, F) grid (F =
+    ``row_flop_capacity``, a static bound on any single row's
+    multiplication count) turns the one global ``sort_key_val`` — the
+    measured 3.2 s/iter bottleneck of :func:`spspmm_padded` at probe
+    scale — into one vectorized batched sort along the minor axis, and
+    the int32 column keys need no composite row*N+col encoding at all.
+
+    Memory is O(M * F): use :func:`ops.spspmm.plan_spgemm_rows`, which
+    falls back to the global-sort path when row skew inflates F.
+    """
+    M, K = A.shape
+    K2, N = B.shape
+    assert K == K2, f"size mismatch {A.shape} @ {B.shape}"
+    idx = A.row.dtype
+    F = row_flop_capacity
+
+    rowptrB = B.rowptr()
+
+    validA = A.valid_mask()
+    colA = jnp.where(validA, A.col, 0)
+    rowA = jnp.where(validA, A.row, M)
+    degB = jnp.where(validA, rowptrB[colA + 1] - rowptrB[colA], 0)
+    ptrE = jnp.concatenate([jnp.zeros((1,), degB.dtype),
+                            jnp.cumsum(degB)])
+    # per-output-row flop pointer (A is row-sorted; pads land in row M)
+    row_flops = jax.ops.segment_sum(degB, rowA, num_segments=M + 1,
+                                    indices_are_sorted=True)[:M]
+    rowE = jnp.concatenate([jnp.zeros((1,), degB.dtype),
+                            jnp.cumsum(row_flops)])
+
+    # --- expansion laid out on the (M, F) grid -------------------------
+    # a_id via 2-D scatter-max + per-row cummax (no binary search — see
+    # spspmm_padded): edge e starts at local flop offset
+    # ptrE[e] - rowE[row(e)] within its row; empty-fanout edges are
+    # dropped (their start collides with the next edge's)
+    f_off = jnp.arange(F, dtype=ptrE.dtype)[None, :]
+    gfi = rowE[:-1, None] + f_off                   # global flop index
+    valid = f_off < row_flops[:, None]
+    le = ptrE[:-1] - rowE[jnp.minimum(rowA, M)]
+    le = jnp.where((degB > 0) & (le < F), le, F)    # F = drop slot
+    edge_ids = jnp.arange(A.capacity, dtype=jnp.int32)
+    a0 = jnp.zeros((M, F), jnp.int32).at[
+        jnp.minimum(rowA, M - 1), le].max(edge_ids, mode="drop")
+    a_id = jnp.clip(jax.lax.cummax(a0, axis=1), 0, A.capacity - 1)
+    gfi_c = jnp.minimum(gfi, jnp.maximum(ptrE[-1] - 1, 0))
+    b_pos = jnp.clip(rowptrB[colA[a_id]] + (gfi_c - ptrE[a_id]), 0,
+                     B.capacity - 1)
+    key = jnp.where(valid, B.col[b_pos], N).astype(jnp.int32)
+
+    if A.value is not None or B.value is not None:
+        valA = (A.value if A.value is not None
+                else jnp.where(validA, 1.0, 0.0))
+        valB = (B.value if B.value is not None
+                else jnp.where(B.valid_mask(), 1.0, 0.0))
+        common = jnp.promote_types(valA.dtype, valB.dtype)
+        prod = jnp.where(valid,
+                         valA[a_id].astype(common)
+                         * valB[b_pos].astype(common), 0)
+        key, prod = jax.lax.sort((key, prod), dimension=1, num_keys=1)
+        prod = prod.reshape(-1)
+    else:
+        prod = None
+        key = jnp.sort(key, axis=1)
+
+    # --- compress (flattened stream is (row, col)-sorted) --------------
+    first2d = (key < N) & jnp.concatenate(
+        [jnp.ones((M, 1), bool), key[:, 1:] != key[:, :-1]], axis=1)
+    first = first2d.reshape(-1)
+    out_col = key.reshape(-1)
+    out_row = jnp.repeat(jnp.arange(M, dtype=idx), F,
+                         total_repeat_length=M * F)
+    seg = jnp.cumsum(first) - 1
+    unique_count = jnp.sum(first)
+    new_nnz = jnp.minimum(unique_count, out_capacity).astype(jnp.int32)
+
+    slots = jnp.where(first & (seg < out_capacity), seg, out_capacity)
+    rowC = jnp.full((out_capacity,), M, idx).at[slots].set(out_row,
+                                                           mode="drop")
+    colC = jnp.full((out_capacity,), N, idx).at[slots].set(
+        out_col.astype(idx), mode="drop")
+    arange_out = jnp.arange(out_capacity)
+    rowC = jnp.where(arange_out < new_nnz, rowC, M)
+    colC = jnp.where(arange_out < new_nnz, colC, N)
+
+    valC = None
+    if prod is not None:
+        valid_flat = out_col < N
+        seg_cl = jnp.where(valid_flat & (seg < out_capacity), seg,
+                           out_capacity)
+        valC = jax.ops.segment_sum(prod, seg_cl,
+                                   num_segments=out_capacity + 1,
+                                   indices_are_sorted=True)[:out_capacity]
+        valC = jnp.where(arange_out < new_nnz, valC, 0)
+
+    overflowed = ((row_flops > F).any()
+                  | (unique_count > out_capacity))
+    C = PaddedCOO(row=rowC, col=colC, value=valC, nnz=new_nnz,
+                  shape=(M, N))
+    return SpGEMMResult(matrix=C, overflowed=overflowed)

@@ -31,12 +31,31 @@ def ind2ptr(row: jax.Array, M: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnums=(1,))
+def _expand_ptr(ptr: jax.Array, E: int) -> jax.Array:
+    """Scatter + cummax pointer expansion: ``out[t] = max i: ptr[i] <= t``.
+
+    Replaces the searchsorted formulation — XLA lowers a binary search
+    as ~log(rows) chained full-length gathers, which measured ~2.5 s on
+    a 14M-element SpGEMM expansion stream (round 4); the scatter-max +
+    cummax pair is two linear passes.  Requires ``ptr[0] == 0``
+    (canonical CSR pointers); duplicate starts (empty segments) resolve
+    to the LAST segment via the scatter-max, matching searchsorted's
+    ``side="right" - 1``."""
+    n = ptr.shape[0] - 1
+    if E == 0 or n <= 0:
+        return jnp.zeros((E,), ptr.dtype)
+    # drop (not clip!) starts at/past E: a segment starting at ptr[i] >= E
+    # contributes nothing — clipping it to E-1 would corrupt the last
+    # position when trailing segments are empty
+    ids0 = jnp.zeros((E,), ptr.dtype).at[ptr[:-1]].max(
+        jnp.arange(n, dtype=ptr.dtype), mode="drop")
+    return jax.lax.cummax(ids0)
+
+
 def ptr2ind(ptr: jax.Array, E: int) -> jax.Array:
     """CSR row pointer -> COO row indices of length ``E`` (= ptr[-1])."""
     ptr = jnp.asarray(ptr)
-    positions = jnp.arange(E, dtype=ptr.dtype)
-    ind = jnp.searchsorted(ptr, positions, side="right") - 1
-    return ind.astype(ptr.dtype)
+    return _expand_ptr(ptr, E)
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -46,6 +65,6 @@ def ptr2ind_capped(ptr: jax.Array, capacity: int) -> jax.Array:
     padding row used by the static-shape core so padding sorts last."""
     ptr = jnp.asarray(ptr)
     positions = jnp.arange(capacity, dtype=ptr.dtype)
-    ind = jnp.searchsorted(ptr, positions, side="right") - 1
+    ind = _expand_ptr(ptr, capacity)
     M = ptr.shape[0] - 1
     return jnp.where(positions < ptr[-1], ind, M).astype(ptr.dtype)

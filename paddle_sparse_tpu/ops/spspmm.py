@@ -20,6 +20,7 @@ Gradients (value-only): native JAX AD over the expansion stream — the VJP of
 products ``dvalA = (dC @ B^T)|_A``, ``dvalB = (A^T @ dC)|_B`` with no dense
 intermediates, so autodiff emits what a hand-written rule would.
 """
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -163,3 +164,44 @@ def plan_spgemm(A, B, slack: float = 1.1, exact_out: bool = True,
                         flop_capacity, flop_capacity)
     unique = int(res.matrix.nnz)
     return flop_capacity, rnd(unique * slack)
+
+
+@functools.partial(jax.jit, static_argnames=("M",))
+def _row_flop_stats(rowA, colA, rowptrB, validA, *, M: int):
+    colA_c = jnp.where(validA, colA, 0)
+    degB = jnp.where(validA, rowptrB[colA_c + 1] - rowptrB[colA_c], 0)
+    rf = jax.ops.segment_sum(degB, jnp.where(validA, rowA, M),
+                             num_segments=M + 1,
+                             indices_are_sorted=True)[:M]
+    return rf.max(), degB.sum()
+
+
+def plan_spgemm_rows(A, B, slack: float = 1.1, align: int = 8,
+                     grid_budget: float = 4.0):
+    """Capacity planner for :func:`core.spgemm.spspmm_rowsorted` (the
+    batched-row-sort fast path).  Returns ``(row_flop_capacity,
+    out_capacity)`` — or ``(None, ...)`` when row skew makes the (M, F)
+    grid more than ``grid_budget`` times the flop count (power-law rows;
+    fall back to :func:`core.spgemm.spspmm_padded`)."""
+    from ..core.matrix import PaddedCOO
+
+    def cdiv(a, b):
+        return -(-a // b)
+
+    def rnd(v):
+        return max(align, cdiv(int(v), align) * align)
+
+    if not isinstance(A, PaddedCOO):
+        A = A.to_padded()
+    if not isinstance(B, PaddedCOO):
+        B = B.to_padded()
+    M = A.shape[0]
+    max_rf, flops = _row_flop_stats(A.row, A.col, B.rowptr(),
+                                    A.valid_mask(), M=M)
+    max_rf, flops = int(max_rf), int(flops)
+    if flops == 0:
+        return None, align
+    F = rnd(max_rf)
+    if M * F > grid_budget * flops + (1 << 22):
+        return None, rnd(flops * slack)
+    return F, rnd(min(flops, M * F) * slack)

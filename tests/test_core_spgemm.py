@@ -142,3 +142,111 @@ def test_spgemm_large_coords_x64_off():
                                    atol=1e-6)
     finally:
         jax.config.update("jax_enable_x64", x64_was)
+
+
+def test_spspmm_rowsorted_matches_padded():
+    """Batched-row-sort fast path == global-sort ESC == dense oracle."""
+    import numpy as np
+    from paddle_sparse_tpu.core import PaddedCOO
+    from paddle_sparse_tpu.core.spgemm import (spspmm_padded,
+                                               spspmm_rowsorted)
+    from paddle_sparse_tpu.ops.spspmm import (plan_spgemm,
+                                              plan_spgemm_rows)
+
+    rng = np.random.default_rng(7)
+    M, K, N, nnzA, nnzB = 70, 60, 50, 500, 400
+    A = PaddedCOO.from_arrays(
+        jnp.asarray(np.sort(rng.integers(0, M, nnzA)).astype(np.int32)),
+        jnp.asarray(rng.integers(0, K, nnzA).astype(np.int32)),
+        jnp.asarray(rng.normal(size=nnzA).astype(np.float32)),
+        (M, K)).coalesce()
+    B = PaddedCOO.from_arrays(
+        jnp.asarray(np.sort(rng.integers(0, K, nnzB)).astype(np.int32)),
+        jnp.asarray(rng.integers(0, N, nnzB).astype(np.int32)),
+        jnp.asarray(rng.normal(size=nnzB).astype(np.float32)),
+        (K, N)).coalesce()
+
+    F, oc = plan_spgemm_rows(A, B)
+    assert F is not None
+    res = spspmm_rowsorted(A, B, F, oc)
+    assert not bool(res.overflowed)
+
+    fc, oc2 = plan_spgemm(A, B)
+    ref = spspmm_padded(A, B, fc, oc2).matrix
+    got = res.matrix
+    n, nr = int(got.nnz), int(ref.nnz)
+    assert n == nr
+    np.testing.assert_array_equal(np.asarray(got.row)[:n],
+                                  np.asarray(ref.row)[:nr])
+    np.testing.assert_array_equal(np.asarray(got.col)[:n],
+                                  np.asarray(ref.col)[:nr])
+    np.testing.assert_allclose(np.asarray(got.value)[:n],
+                               np.asarray(ref.value)[:nr],
+                               rtol=1e-4, atol=1e-5)
+
+    # dense oracle
+    Ad = np.zeros((M, K), np.float32)
+    na = int(A.nnz)
+    np.add.at(Ad, (np.asarray(A.row)[:na], np.asarray(A.col)[:na]),
+              np.asarray(A.value)[:na])
+    Bd = np.zeros((K, N), np.float32)
+    nb = int(B.nnz)
+    np.add.at(Bd, (np.asarray(B.row)[:nb], np.asarray(B.col)[:nb]),
+              np.asarray(B.value)[:nb])
+    Cd = np.zeros((M, N), np.float32)
+    np.add.at(Cd, (np.asarray(got.row)[:n], np.asarray(got.col)[:n]),
+              np.asarray(got.value)[:n])
+    np.testing.assert_allclose(Cd, Ad @ Bd, rtol=1e-4, atol=1e-4)
+
+
+def test_spspmm_rowsorted_grads():
+    """Value gradients of the fast path match the global-sort path."""
+    import numpy as np
+    from paddle_sparse_tpu.core import PaddedCOO
+    from paddle_sparse_tpu.core.spgemm import (spspmm_padded,
+                                               spspmm_rowsorted)
+    from paddle_sparse_tpu.ops.spspmm import (plan_spgemm,
+                                              plan_spgemm_rows)
+    import dataclasses
+
+    rng = np.random.default_rng(9)
+    M, nnz = 40, 240
+    A = PaddedCOO.from_arrays(
+        jnp.asarray(np.sort(rng.integers(0, M, nnz)).astype(np.int32)),
+        jnp.asarray(rng.integers(0, M, nnz).astype(np.int32)),
+        jnp.asarray(rng.normal(size=nnz).astype(np.float32)),
+        (M, M)).coalesce()
+    F, oc = plan_spgemm_rows(A, A)
+    fc, oc2 = plan_spgemm(A, A)
+
+    def loss_fast(v):
+        Ai = dataclasses.replace(A, value=v)
+        return (spspmm_rowsorted(Ai, Ai, F, oc).matrix.value ** 2).sum()
+
+    def loss_ref(v):
+        Ai = dataclasses.replace(A, value=v)
+        return (spspmm_padded(Ai, Ai, fc, oc2).matrix.value ** 2).sum()
+
+    g_fast = jax.grad(loss_fast)(A.value)
+    g_ref = jax.grad(loss_ref)(A.value)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_plan_spgemm_rows_skew_fallback():
+    """Power-law rows must route to the global-sort path (grid budget)."""
+    import numpy as np
+    from paddle_sparse_tpu.core import PaddedCOO
+    from paddle_sparse_tpu.ops.spspmm import plan_spgemm_rows
+
+    M = 3000
+    # one hot row with 1000 edges, everyone else 1
+    row = np.concatenate([np.zeros(1000, np.int32),
+                          np.arange(1, M, dtype=np.int32)])
+    col = np.concatenate([np.arange(1000, dtype=np.int32) % M,
+                          np.arange(1, M, dtype=np.int32)])
+    A = PaddedCOO.from_arrays(jnp.asarray(np.sort(row)), jnp.asarray(col),
+                              jnp.ones((row.size,), jnp.float32),
+                              (M, M)).coalesce()
+    F, _ = plan_spgemm_rows(A, A)
+    assert F is None
