@@ -144,6 +144,37 @@ def matmul_padded(A: PaddedCOO, B: PaddedCOO, flop_capacity: int,
     return spspmm_padded(A, B, flop_capacity, out_capacity).matrix
 
 
+@jax.custom_vjp
+def _paired_gather(ivals, fvals, idx):
+    """Gather ``(ivals[i], fvals[i])`` pairs with ONE 2-wide row gather
+    (f32 bits ride in an int32 lane).  Differentiable in ``fvals`` via a
+    custom VJP — ``bitcast_convert_type`` itself is not differentiable —
+    whose backward is exactly what AD emits for a plain gather (a
+    scatter-add of the cotangent)."""
+    packed = jnp.stack(
+        [ivals.astype(jnp.int32),
+         jax.lax.bitcast_convert_type(fvals.astype(jnp.float32),
+                                      jnp.int32)], axis=1)
+    g = jnp.take(packed, idx, axis=0, mode="clip")
+    return g[:, 0], jax.lax.bitcast_convert_type(g[:, 1], jnp.float32)
+
+
+def _paired_gather_fwd(ivals, fvals, idx):
+    return _paired_gather(ivals, fvals, idx), (fvals.shape[0], idx)
+
+
+def _paired_gather_bwd(res, ct):
+    import numpy as np
+    n, idx = res
+    _, ct_f = ct
+    d_f = jnp.zeros((n,), jnp.float32).at[idx].add(ct_f, mode="drop")
+    return (np.zeros((n,), jax.dtypes.float0), d_f,
+            np.zeros(idx.shape, jax.dtypes.float0))
+
+
+_paired_gather.defvjp(_paired_gather_fwd, _paired_gather_bwd)
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def spspmm_rowsorted(A: PaddedCOO, B: PaddedCOO, row_flop_capacity: int,
                      out_capacity: int) -> SpGEMMResult:
@@ -198,23 +229,42 @@ def spspmm_rowsorted(A: PaddedCOO, B: PaddedCOO, row_flop_capacity: int,
         jnp.minimum(rowA, M - 1), le].max(edge_ids, mode="drop")
     a_id = jnp.clip(jax.lax.cummax(a0, axis=1), 0, A.capacity - 1)
     gfi_c = jnp.minimum(gfi, jnp.maximum(ptrE[-1] - 1, 0))
-    b_pos = jnp.clip(rowptrB[colA[a_id]] + (gfi_c - ptrE[a_id]), 0,
-                     B.capacity - 1)
-    key = jnp.where(valid, B.col[b_pos], N).astype(jnp.int32)
+    # per-edge b-offset precomposed so the expansion needs ONE (M, F)
+    # gather here instead of two chained ones (ptrE[a_id] then
+    # rowptrB[colA[a_id]])
+    b_off = (rowptrB[colA] - ptrE[:-1]).astype(jnp.int32)
 
-    if A.value is not None or B.value is not None:
+    has_val = A.value is not None or B.value is not None
+    if has_val:
         valA = (A.value if A.value is not None
                 else jnp.where(validA, 1.0, 0.0))
         valB = (B.value if B.value is not None
                 else jnp.where(B.valid_mask(), 1.0, 0.0))
         common = jnp.promote_types(valA.dtype, valB.dtype)
+
+    if has_val and common == jnp.float32:
+        # pair-packed gathers: the four scalar expansion gathers are the
+        # measured bottleneck (~580 of 718 ms at probe scale); packing
+        # (b_off, valA) and (colB, valB) as 2-wide int32 rows halves the
+        # gather count
+        boff_g, va_g = _paired_gather(b_off, valA, a_id.reshape(-1))
+        b_pos = jnp.clip(boff_g.reshape(M, F) + gfi_c, 0,
+                         B.capacity - 1)
+        colb_g, vb_g = _paired_gather(B.col, valB, b_pos.reshape(-1))
+        key = jnp.where(valid, colb_g.reshape(M, F), N).astype(jnp.int32)
         prod = jnp.where(valid,
-                         valA[a_id].astype(common)
-                         * valB[b_pos].astype(common), 0)
+                         (va_g * vb_g).reshape(M, F), 0.0)
+    else:
+        b_pos = jnp.clip(b_off[a_id] + gfi_c, 0, B.capacity - 1)
+        key = jnp.where(valid, B.col[b_pos], N).astype(jnp.int32)
+        prod = (jnp.where(valid, valA[a_id].astype(common)
+                          * valB[b_pos].astype(common), 0)
+                if has_val else None)
+
+    if prod is not None:
         key, prod = jax.lax.sort((key, prod), dimension=1, num_keys=1)
         prod = prod.reshape(-1)
     else:
-        prod = None
         key = jnp.sort(key, axis=1)
 
     # --- compress (flattened stream is (row, col)-sorted) --------------
@@ -228,20 +278,26 @@ def spspmm_rowsorted(A: PaddedCOO, B: PaddedCOO, row_flop_capacity: int,
     unique_count = jnp.sum(first)
     new_nnz = jnp.minimum(unique_count, out_capacity).astype(jnp.int32)
 
-    slots = jnp.where(first & (seg < out_capacity), seg, out_capacity)
-    rowC = jnp.full((out_capacity,), M, idx).at[slots].set(out_row,
-                                                           mode="drop")
-    colC = jnp.full((out_capacity,), N, idx).at[slots].set(
-        out_col.astype(idx), mode="drop")
+    # compress via sorted segment reductions (every element of a segment
+    # shares (row, col), so max == the coordinate) — segment ops lower
+    # better than the scatter emitter on this toolchain
+    valid_flat = out_col < N
+    seg_cl = jnp.where(valid_flat & (seg < out_capacity), seg,
+                       out_capacity)
     arange_out = jnp.arange(out_capacity)
+    rowC = jax.ops.segment_max(
+        jnp.where(valid_flat, out_row, 0), seg_cl,
+        num_segments=out_capacity + 1,
+        indices_are_sorted=True)[:out_capacity].astype(idx)
+    colC = jax.ops.segment_max(
+        jnp.where(valid_flat, out_col, 0), seg_cl,
+        num_segments=out_capacity + 1,
+        indices_are_sorted=True)[:out_capacity].astype(idx)
     rowC = jnp.where(arange_out < new_nnz, rowC, M)
     colC = jnp.where(arange_out < new_nnz, colC, N)
 
     valC = None
     if prod is not None:
-        valid_flat = out_col < N
-        seg_cl = jnp.where(valid_flat & (seg < out_capacity), seg,
-                           out_capacity)
         valC = jax.ops.segment_sum(prod, seg_cl,
                                    num_segments=out_capacity + 1,
                                    indices_are_sorted=True)[:out_capacity]
