@@ -147,6 +147,86 @@ def _seg_rowptrs(seg_sorted: jax.Array, row_sorted: jax.Array, S: int,
     return within + base[:, None]
 
 
+@functools.partial(jax.jit, static_argnames=("S", "SR", "M", "N"))
+def _build_fwd(row, col, *, S, SR, M, N):
+    """Phase 1: forward layout — stable bucket by x-segment (rows stay
+    sorted within each segment because the input is row-sorted).
+    Module-level & shape-polymorphic so the sharded planner can vmap it
+    over a device axis."""
+    sorted_ok = jnp.all(jnp.diff(row) >= 0) if row.shape[0] else \
+        jnp.bool_(True)
+    seg = (col >> _lg2(SR)).astype(jnp.int32)
+    order_f = _counting_order(seg, S)
+    seg_f = jnp.take(seg, order_f)
+    sbase = jnp.minimum(
+        jnp.arange(S, dtype=jnp.int32) * SR,
+        jnp.int32(max(0, N - SR)))   # clamped: last slice stays in x
+    col_f = jnp.take(col, order_f) - jnp.take(sbase, seg_f)
+    rp_f = _seg_rowptrs(seg_f, jnp.take(row, order_f), S, M)
+    max_f = (rp_f[:, -1] - rp_f[:, 0]).max()
+    return order_f, col_f, rp_f, sbase, max_f, sorted_ok
+
+
+@functools.partial(jax.jit, static_argnames=("S_t", "SR_t", "M", "N"))
+def _build_t(row, col, *, S_t, SR_t, M, N):
+    """Phase 2: transpose layout — CSC order, then stable bucket by the
+    g-segment of the original row."""
+    perm_c = jnp.argsort(col, stable=True).astype(jnp.int32)
+    rowc = jnp.take(row, perm_c)
+    seg_t = (rowc >> _lg2(SR_t)).astype(jnp.int32)
+    order_t2 = _counting_order(seg_t, S_t)
+    perm_t = jnp.take(perm_c, order_t2)
+    sbase = jnp.minimum(
+        jnp.arange(S_t, dtype=jnp.int32) * SR_t,
+        jnp.int32(max(0, M - SR_t)))
+    col_t = jnp.take(rowc, order_t2) - jnp.take(
+        sbase, jnp.take(seg_t, order_t2))
+    xrow_t = jnp.take(jnp.take(col, perm_c), order_t2)
+    rp_t = _seg_rowptrs(jnp.take(seg_t, order_t2), xrow_t, S_t, N)
+    max_t = (rp_t[:, -1] - rp_t[:, 0]).max()
+    return perm_t, col_t, rp_t, sbase, xrow_t, max_t
+
+
+@functools.partial(jax.jit, static_argnames=("W", "ECW", "M"))
+def _spans(rp, *, W, ECW, M):
+    """Phase 3: sub-window w of segment s covers edges
+    [rp[s,0] + w*ECW, +ECW); rows are sorted within the segment so the
+    touched rows are one contiguous range."""
+    base = rp[:, :1] + jnp.arange(W, dtype=jnp.int32)[None, :] * ECW
+
+    def seg_spans(rps, bases):
+        r_lo = jnp.clip(
+            jnp.searchsorted(rps, bases, side="right") - 1, 0, M - 1)
+        r_hi = jnp.clip(
+            jnp.searchsorted(rps, bases + ECW, side="left") - 1,
+            0, M - 1)
+        return r_lo, jnp.maximum(r_hi, r_lo)
+
+    r_lo, r_hi = jax.vmap(seg_spans)(rp, base)
+    rlo = ((r_lo // 128) * 128).astype(jnp.int32).reshape(-1)
+    span = (r_hi.reshape(-1) - rlo + 1).max()
+    return rlo, span
+
+
+@functools.partial(jax.jit, static_argnames=("W_t", "ECW_t"))
+def _relays(order_f, perm_t, wptr_t, *, W_t, ECW_t):
+    """Phase 4: precomposed scalar maps — value relay fwd->transpose and
+    the dv sub-window slot of every fwd position."""
+    nnz_ = order_f.shape[0]
+    ar = jnp.arange(nnz_, dtype=jnp.int32)
+    inv_f = jnp.zeros((nnz_,), jnp.int32).at[order_f].set(ar)
+    inv_t = jnp.zeros((nnz_,), jnp.int32).at[perm_t].set(ar)
+    relay_ft = jnp.take(inv_f, perm_t)       # t pos -> fwd pos
+    relay_tf = jnp.take(inv_t, order_f)      # fwd pos -> t pos
+    # dv slot of each t position in the stacked (S_t*W_t, ECW_t)
+    # buffer: sub-window k = s*W_t + (pos - wptr[s]) // ECW_t
+    s_of_t = (jnp.searchsorted(wptr_t, ar, side="right") - 1
+              ).astype(jnp.int32)
+    off = ar - jnp.take(wptr_t, s_of_t)
+    slot_t = ((s_of_t * W_t + off // ECW_t) * ECW_t) + off % ECW_t
+    return relay_ft, jnp.take(slot_t, relay_tf)
+
+
 def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
                    feat_dim: int, stream: Optional[str] = None,
                    chunk_edges: int = 512,
@@ -186,50 +266,16 @@ def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
     SR_t = sr or _pick_sr(M, feat_dim, stream_bytes)
     S_t = max(1, cdiv(M, SR_t))
 
-    # ---- phase 1: forward layout (bucket by x-segment; rows stay
-    # sorted within each segment because the input is row-sorted) -------
-    @functools.partial(jax.jit, static_argnames=("S", "SR", "M", "N"))
-    def build_fwd(row, col, *, S, SR, M, N):
-        sorted_ok = jnp.all(jnp.diff(row) >= 0) if row.shape[0] else \
-            jnp.bool_(True)
-        seg = (col >> _lg2(SR)).astype(jnp.int32)
-        order_f = _counting_order(seg, S)
-        seg_f = jnp.take(seg, order_f)
-        sbase = jnp.minimum(
-            jnp.arange(S, dtype=jnp.int32) * SR,
-            jnp.int32(max(0, N - SR)))   # clamped: last slice stays in x
-        col_f = jnp.take(col, order_f) - jnp.take(sbase, seg_f)
-        rp_f = _seg_rowptrs(seg_f, jnp.take(row, order_f), S, M)
-        max_f = (rp_f[:, -1] - rp_f[:, 0]).max()
-        return order_f, col_f, rp_f, sbase, max_f, sorted_ok
-
-    order_f, col_f, rp_f, sbase_f, max_f, sorted_ok = build_fwd(
+    # ---- phase 1: forward layout ---------------------------------------
+    order_f, col_f, rp_f, sbase_f, max_f, sorted_ok = _build_fwd(
         row, col, S=S, SR=SR, M=M, N=N)
     if not bool(sorted_ok):
         raise ValueError(
             "make_seg2_plan requires row indices sorted ascending "
             "(canonical COO order); sort/coalesce the structure first")
 
-    # ---- phase 2: transpose layout (CSC order, then bucket by the
-    # g-segment of the original row) ------------------------------------
-    @functools.partial(jax.jit, static_argnames=("S_t", "SR_t", "M", "N"))
-    def build_t(row, col, *, S_t, SR_t, M, N):
-        perm_c = jnp.argsort(col, stable=True).astype(jnp.int32)
-        rowc = jnp.take(row, perm_c)
-        seg_t = (rowc >> _lg2(SR_t)).astype(jnp.int32)
-        order_t2 = _counting_order(seg_t, S_t)
-        perm_t = jnp.take(perm_c, order_t2)
-        sbase = jnp.minimum(
-            jnp.arange(S_t, dtype=jnp.int32) * SR_t,
-            jnp.int32(max(0, M - SR_t)))
-        col_t = jnp.take(rowc, order_t2) - jnp.take(
-            sbase, jnp.take(seg_t, order_t2))
-        xrow_t = jnp.take(jnp.take(col, perm_c), order_t2)
-        rp_t = _seg_rowptrs(jnp.take(seg_t, order_t2), xrow_t, S_t, N)
-        max_t = (rp_t[:, -1] - rp_t[:, 0]).max()
-        return perm_t, col_t, rp_t, sbase, xrow_t, max_t
-
-    perm_t, col_t, rp_t, sbase_t, xrow_t, max_t = build_t(
+    # ---- phase 2: transpose layout -------------------------------------
+    perm_t, col_t, rp_t, sbase_t, xrow_t, max_t = _build_t(
         row, col, S_t=S_t, SR_t=SR_t, M=M, N=N)
 
     # ---- window geometry (host scalars -> static plan) -----------------
@@ -243,51 +289,15 @@ def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
     ECW_t = rnd(cdiv(EC_t, W_t), E)
 
     # ---- phase 3: per-sub-window row spans ----------------------------
-    @functools.partial(jax.jit, static_argnames=("W", "ECW", "M"))
-    def spans(rp, *, W, ECW, M):
-        # sub-window w of segment s covers edges
-        # [rp[s,0] + w*ECW, +ECW); rows are sorted within the segment so
-        # the touched rows are one contiguous range
-        base = rp[:, :1] + jnp.arange(W, dtype=jnp.int32)[None, :] * ECW
-
-        def seg_spans(rps, bases):
-            r_lo = jnp.clip(
-                jnp.searchsorted(rps, bases, side="right") - 1, 0, M - 1)
-            r_hi = jnp.clip(
-                jnp.searchsorted(rps, bases + ECW, side="left") - 1,
-                0, M - 1)
-            return r_lo, jnp.maximum(r_hi, r_lo)
-
-        r_lo, r_hi = jax.vmap(seg_spans)(rp, base)
-        rlo = ((r_lo // 128) * 128).astype(jnp.int32).reshape(-1)
-        span = (r_hi.reshape(-1) - rlo + 1).max()
-        return rlo, span
-
-    rlo_f, span_f = spans(rp_f, W=W, ECW=ECW, M=M)
-    rlo_t, span_t = spans(rp_t, W=W_t, ECW=ECW_t, M=N)
+    rlo_f, span_f = _spans(rp_f, W=W, ECW=ECW, M=M)
+    rlo_t, span_t = _spans(rp_t, W=W_t, ECW=ECW_t, M=N)
     CRW = rnd(int(span_f), 128)
     CRW_t = rnd(int(span_t), 128)
 
     # ---- phase 4: relays (precomposed scalar maps) ---------------------
-    @functools.partial(jax.jit, static_argnames=("W_t", "ECW_t"))
-    def relays(order_f, perm_t, wptr_t, *, W_t, ECW_t):
-        nnz_ = order_f.shape[0]
-        ar = jnp.arange(nnz_, dtype=jnp.int32)
-        inv_f = jnp.zeros((nnz_,), jnp.int32).at[order_f].set(ar)
-        inv_t = jnp.zeros((nnz_,), jnp.int32).at[perm_t].set(ar)
-        relay_ft = jnp.take(inv_f, perm_t)       # t pos -> fwd pos
-        relay_tf = jnp.take(inv_t, order_f)      # fwd pos -> t pos
-        # dv slot of each t position in the stacked (S_t*W_t, ECW_t)
-        # buffer: sub-window k = s*W_t + (pos - wptr[s]) // ECW_t
-        s_of_t = (jnp.searchsorted(wptr_t, ar, side="right") - 1
-                  ).astype(jnp.int32)
-        off = ar - jnp.take(wptr_t, s_of_t)
-        slot_t = ((s_of_t * W_t + off // ECW_t) * ECW_t) + off % ECW_t
-        return relay_ft, jnp.take(slot_t, relay_tf)
-
     wptr_t = jnp.concatenate([rp_t[:, 0], rp_t[-1:, -1]])
-    relay_ft, dv_map = relays(order_f, perm_t, wptr_t, W_t=W_t,
-                              ECW_t=ECW_t)
+    relay_ft, dv_map = _relays(order_f, perm_t, wptr_t, W_t=W_t,
+                               ECW_t=ECW_t)
 
     plan = Seg2Plan(M, N, S, SR, W, ECW, CRW, S_t, SR_t, W_t, ECW_t,
                     CRW_t, chunk=E,

@@ -1,0 +1,180 @@
+"""Row-sharded FLAGSHIP SpMM under ``shard_map`` (VERDICT r3 item 2).
+
+Round 3's distributed kernels called ``spmm_coo`` with shard_map-traced
+indices, so the planned (chunked/segmented) Pallas drivers — which need
+concrete indices at plan time — were unreachable and the multi-chip path
+silently ran the slow fallbacks.  This module fixes that the TPU-native
+way: the per-shard plans are built ON HOST from the concrete sharded
+structure (``jax.vmap`` of the seg2 phase builders over the device
+axis), the static geometry is made UNIFORM across shards (max over
+devices), and the stacked :class:`Seg2Structure` leaves are sharded over
+the mesh — inside ``shard_map`` every device runs the exact same
+:func:`ops.spmm_seg2.spmm_seg2` kernel it runs single-chip.
+
+Strategy: 1-D row sharding with one ``all_gather`` of the dense operand
+over ICI (the halo/ring variants in ``parallel/spmm.py`` remain
+available for bandwidth-bound regimes).  Differentiable in
+``(packed_value, x)``: the all-gather transposes to a
+``psum_scatter``.
+"""
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.spmm_seg2 import (Seg2Plan, Seg2Structure, _build_fwd,
+                             _build_t, _pick_sr, _relays, _spans,
+                             spmm_seg2)
+from .spmm import RowShardedMatrix
+
+
+class ShardedSeg2(NamedTuple):
+    """Uniform-static plan + device-stacked structure (leading axis D)."""
+    plan: Seg2Plan
+    structure: Seg2Structure
+
+
+def make_seg2_plan_sharded(mat: RowShardedMatrix, *, feat_dim: int,
+                           stream=None, chunk_edges: int = 512,
+                           sr=None,
+                           window_bytes: int = None) -> ShardedSeg2:
+    """Build per-shard seg2 plans with shard-uniform static geometry.
+
+    Local row space per shard = ``rows_per_shard + 1`` (the extra dead
+    row absorbs padding, exactly as the single-chip padded contract).
+    Capacities (EC/ECW/CRW and transpose twins) take the max over
+    shards, so one static plan serves every device."""
+    import functools
+
+    from ..ops.spmm_seg2 import WINDOW_BYTES, make_seg2_plan  # noqa: F401
+    from ..ops.kernels.spmm_pallas import _stream_env
+
+    window_bytes = window_bytes or WINDOW_BYTES
+    stream = stream or _stream_env()
+    stream_bytes = 2 if stream == "bf16" else 4
+
+    D = int(mat.row.shape[0])
+    M_local = mat.rows_per_shard + 1
+    N = mat.shape[1]
+    E = chunk_edges
+
+    def cdiv(a, b):
+        return -(-a // b)
+
+    def rnd(v, m):
+        return max(m, cdiv(int(v), m) * m)
+
+    SR = sr or _pick_sr(N, feat_dim, stream_bytes)
+    S = max(1, cdiv(N, SR))
+    SR_t = sr or _pick_sr(M_local, feat_dim, stream_bytes)
+    S_t = max(1, cdiv(M_local, SR_t))
+
+    rows = jnp.asarray(mat.row, jnp.int32)
+    # padding cols are N (one past the end): clamp into the last segment
+    # — their values are zero and their rows are the dead row, so they
+    # contribute nothing either way
+    cols = jnp.clip(jnp.asarray(mat.col, jnp.int32), 0, N - 1)
+
+    bf = jax.vmap(functools.partial(_build_fwd, S=S, SR=SR, M=M_local,
+                                    N=N))
+    order_f, col_f, rp_f, sbase_f, max_f, ok = bf(rows, cols)
+    if not bool(ok.all()):
+        raise ValueError("sharded rows must be locally sorted ascending")
+    bt = jax.vmap(functools.partial(_build_t, S_t=S_t, SR_t=SR_t,
+                                    M=M_local, N=N))
+    perm_t, col_t, rp_t, sbase_t, xrow_t, max_t = bt(rows, cols)
+
+    win_edges = max(E, window_bytes // max(1, feat_dim * stream_bytes))
+    EC = rnd(int(max_f.max()), E)
+    W = max(1, cdiv(EC, win_edges))
+    ECW = rnd(cdiv(EC, W), E)
+    EC_t = rnd(int(max_t.max()), E)
+    W_t = max(1, cdiv(EC_t, win_edges))
+    ECW_t = rnd(cdiv(EC_t, W_t), E)
+
+    rlo_f, span_f = jax.vmap(
+        functools.partial(_spans, W=W, ECW=ECW, M=M_local))(rp_f)
+    rlo_t, span_t = jax.vmap(
+        functools.partial(_spans, W=W_t, ECW=ECW_t, M=N))(rp_t)
+    CRW = rnd(int(span_f.max()), 128)
+    CRW_t = rnd(int(span_t.max()), 128)
+
+    wptr_t = jnp.concatenate([rp_t[:, :, 0], rp_t[:, -1:, -1]], axis=1)
+    relay_ft, dv_map = jax.vmap(
+        functools.partial(_relays, W_t=W_t, ECW_t=ECW_t))(
+        order_f, perm_t, wptr_t)
+
+    plan = Seg2Plan(M_local, N, S, SR, W, ECW, CRW, S_t, SR_t, W_t,
+                    ECW_t, CRW_t, chunk=E,
+                    interpret=jax.default_backend() == "cpu",
+                    stream=stream)
+    structure = Seg2Structure(
+        col_f=col_f, rp_f=rp_f, perm_f=order_f, sbase_f=sbase_f,
+        rlo_f=rlo_f, col_t=col_t, rp_t=rp_t, sbase_t=sbase_t,
+        rlo_t=rlo_t, xrow_t=xrow_t, relay_ft=relay_ft, dv_map=dv_map)
+    return ShardedSeg2(plan=plan, structure=structure)
+
+
+def pack_values_sharded(sharded: ShardedSeg2,
+                        value: jax.Array) -> jax.Array:
+    """(D, C) COO-ordered per-shard values -> the fwd packed layout."""
+    return jnp.take_along_axis(value, sharded.structure.perm_f, axis=1)
+
+
+def device_put_sharded_seg2(mesh: Mesh, sharded: ShardedSeg2,
+                            axis_name: str = "x") -> ShardedSeg2:
+    """Lay every structure leaf's device axis over the mesh."""
+    def put(leaf):
+        spec = P(axis_name, *([None] * (leaf.ndim - 1)))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return ShardedSeg2(
+        plan=sharded.plan,
+        structure=jax.tree_util.tree_map(put, sharded.structure))
+
+
+def spmm_seg2_allgather(mesh: Mesh, sharded: ShardedSeg2,
+                        packed_value, x: jax.Array,
+                        axis_name: str = "x") -> jax.Array:
+    """Flagship distributed SpMM: all-gather x over ICI, then the exact
+    single-chip seg2 Pallas path per shard.  ``x`` is row-sharded
+    (N/D, K); returns row-sharded output blocks (D, rows_per_shard, K).
+
+    Differentiable in ``(packed_value, x)``."""
+    plan = sharded.plan
+    rows_per = plan.num_rows - 1
+
+    spec_struct = jax.tree_util.tree_map(
+        lambda a: P(axis_name, *([None] * (a.ndim - 1))),
+        sharded.structure)
+    spec_blk = P(axis_name, None)
+    spec3 = P(axis_name, None, None)
+
+    if packed_value is not None:
+        def kernel(struct, pv, x_local):
+            local = jax.tree_util.tree_map(lambda a: a[0], struct)
+            x_full = jax.lax.all_gather(x_local, axis_name, axis=0,
+                                        tiled=True)
+            out = spmm_seg2(plan, local, pv[0], x_full)
+            return out[None, :rows_per]   # drop the padding dead row
+
+        # check_vma=False: the Pallas call inside cannot declare
+        # varying-mesh-axes metadata on its out_shape
+        fn = shard_map(kernel, mesh=mesh,
+                       in_specs=(spec_struct, spec_blk, spec_blk),
+                       out_specs=spec3, check_vma=False)
+        return fn(sharded.structure, packed_value, x)
+
+    def kernel_nv(struct, x_local):
+        local = jax.tree_util.tree_map(lambda a: a[0], struct)
+        x_full = jax.lax.all_gather(x_local, axis_name, axis=0,
+                                    tiled=True)
+        out = spmm_seg2(plan, local, None, x_full)
+        return out[None, :rows_per]
+
+    fn = shard_map(kernel_nv, mesh=mesh,
+                   in_specs=(spec_struct, spec_blk),
+                   out_specs=spec3, check_vma=False)
+    return fn(sharded.structure, x)

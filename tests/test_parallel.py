@@ -226,3 +226,66 @@ def _tensor_of(mat):
     """RowShardedMatrix -> eager SparseTensor (test helper)."""
     dense = _dense_of(mat)
     return SparseTensor.from_dense(jnp.asarray(dense))
+
+
+def test_spmm_seg2_sharded_flagship():
+    """The FLAGSHIP (seg2 planned Pallas path) runs under shard_map with
+    host-built per-shard plans (VERDICT r3 item 2) — forward and grads
+    match the dense oracle."""
+    if len(jax.devices()) < D:
+        pytest.skip(f"needs {D} virtual devices")
+    from paddle_sparse_tpu.parallel.spmm_seg2 import (
+        device_put_sharded_seg2, make_seg2_plan_sharded,
+        pack_values_sharded, spmm_seg2_allgather)
+
+    rng = np.random.default_rng(11)
+    M = N = 128
+    K, nnz = 128, 900
+    row = np.sort(rng.integers(0, M, nnz))
+    col = rng.integers(0, N, nnz)
+    order = np.lexsort((col, row))
+    val = rng.standard_normal(nnz).astype(np.float32)
+    adj = SparseTensor(row=jnp.asarray(row[order]),
+                       col=jnp.asarray(col[order]),
+                       value=jnp.asarray(val[order]), sparse_sizes=(M, N))
+    X = rng.standard_normal((N, K)).astype(np.float32)
+    dense = np.asarray(adj.to_dense())
+
+    mesh = make_mesh(D)
+    mat = device_put_sharded_matrix(mesh, shard_padded_coo(adj, D))
+    sh = make_seg2_plan_sharded(mat, feat_dim=K, sr=32, chunk_edges=256)
+    assert sh.plan.S > 1            # multi-segment geometry exercised
+    sh = device_put_sharded_seg2(mesh, sh)
+    packed = pack_values_sharded(sh, mat.value)
+    x_arr = jax.device_put(jnp.asarray(X),
+                           NamedSharding(mesh, P("x", None)))
+
+    out = spmm_seg2_allgather(mesh, sh, packed, x_arr)
+    got = np.asarray(out).reshape(M, K)
+    np.testing.assert_allclose(got, dense @ X, rtol=1e-4, atol=1e-4)
+
+    # gradients flow through the collective + the seg2 custom VJP
+    def loss(pv, x):
+        o = spmm_seg2_allgather(mesh, sh, pv, x)
+        return (o.reshape(M, K) ** 2).sum()
+
+    d_pv, d_x = jax.grad(loss, argnums=(0, 1))(packed, x_arr)
+    g = 2.0 * (dense @ X)
+    want_dx = dense.T @ g
+    np.testing.assert_allclose(np.asarray(d_x), want_dx, rtol=1e-3,
+                               atol=1e-3)
+    # d_value: dv[e] = g[row].x[col]; map through the per-shard packing
+    rows_l = np.asarray(mat.row)
+    cols_l = np.asarray(mat.col)
+    perm = np.asarray(sh.structure.perm_f)
+    rows_per = mat.rows_per_shard
+    want_dpv = np.zeros_like(np.asarray(packed))
+    for d in range(D):
+        pr = rows_l[d][perm[d]]
+        pc = cols_l[d][perm[d]]
+        valid = (pr < rows_per) & (pc < N)
+        gr = g[np.clip(pr + d * rows_per, 0, M - 1)]
+        xc = X[np.clip(pc, 0, N - 1)]
+        want_dpv[d] = np.where(valid, (gr * xc).sum(axis=1), 0.0)
+    np.testing.assert_allclose(np.asarray(d_pv), want_dpv, rtol=1e-3,
+                               atol=1e-3)
