@@ -464,6 +464,49 @@ def spgemm_probe():
     return out
 
 
+def partition_probe():
+    """Edge-cut quality of the METIS-stand-in region grower (VERDICT r3
+    weak #6): measured cut fraction vs a size-matched random partition on
+    a structured graph and on an unstructured power-law graph.  Pure
+    host-side numpy — costs a few seconds."""
+    import numpy as np
+    import jax.numpy as jnp
+    from paddle_sparse_tpu import SparseTensor
+    from paddle_sparse_tpu.partition import (edge_cut_fraction,
+                                             partition_clusters,
+                                             random_cut_fraction)
+
+    out = {}
+    # structured: grid-ish graph (each node links to +-1, +-w neighbors)
+    M, w = 20_000, 100
+    base = np.arange(M)
+    rows, cols = [], []
+    for d in (1, w):
+        rows += [base[:-d], base[d:]]
+        cols += [base[d:], base[:-d]]
+    row = np.concatenate(rows)
+    col = np.concatenate(cols)
+    order = np.lexsort((col, row))
+    g = SparseTensor(row=jnp.asarray(row[order]),
+                     col=jnp.asarray(col[order]),
+                     sparse_sizes=(M, M)).coalesce()
+    cl = partition_clusters(g, 16)
+    out["grid"] = {"cut": round(edge_cut_fraction(g, cl), 4),
+                   "random_cut": round(random_cut_fraction(cl), 4)}
+
+    rng = np.random.default_rng(0)
+    wts = rng.zipf(1.5, size=M).astype(np.float64)
+    deg = np.maximum(1, (wts * (16 * M / wts.sum())).astype(np.int64))
+    row = np.repeat(np.arange(M), deg)
+    col = rng.integers(0, M, row.size)
+    pl = SparseTensor(row=jnp.asarray(np.sort(row)), col=jnp.asarray(col),
+                      sparse_sizes=(M, M)).coalesce()
+    cl2 = partition_clusters(pl, 16)
+    out["powerlaw"] = {"cut": round(edge_cut_fraction(pl, cl2), 4),
+                       "random_cut": round(random_cut_fraction(cl2), 4)}
+    return out
+
+
 def smoke():
     """Small real-device correctness check of the fast SpMM backends
     against a NUMPY dense oracle (seconds, not minutes: the XLA-path
@@ -673,6 +716,15 @@ def main():
                   "frac": round(frac_of(r), 4), "nnz": r["nnz"]}
                  if r is not None else {"error": err})
 
+    # --- partition quality (host-side, seconds) ---
+    partition = None
+    if os.environ.get("BENCH_PARTITION", "1") != "0":
+        try:
+            partition = partition_probe()
+        except Exception as e:  # noqa: BLE001
+            partition = {"error": f"{type(e).__name__}: {e}"[:200]}
+        _log(f"partition probe done: {json.dumps(partition)[:160]}")
+
     # --- XLA oracle last (uninterruptible compile; see XLA_ORACLE_SCALE) --
     if want_oracle:
         remaining = deadline - time.monotonic()
@@ -710,14 +762,16 @@ def main():
     frac = frac_of(r)
     fwd_gbps = fwd_bytes / r["fwd_s"] / 1e9
 
-    # scaling estimates fed by the MEASURED bandwidth (VERDICT r2 item 7)
+    # scaling estimates fed by the MEASURED bandwidth plus the
+    # at-target-bandwidth column where comm terms bind; pod-scale D
+    # values are where the strategies separate (VERDICT r3 item 6)
     try:
         from paddle_sparse_tpu.parallel.scaling import scaling_report
         scaling = {
             f"D={d}": scaling_report(d, r["nnz"], r["nodes"], r["nodes"],
                                      r["dim"], achieved_gbps=fwd_gbps,
                                      device_kind=kind)
-            for d in (8, 16)}
+            for d in (8, 16, 64, 256)}
         scaling["achieved_gbps"] = round(fwd_gbps, 1)
     except Exception as e:  # noqa: BLE001
         scaling = {"error": str(e)[:200]}
@@ -750,6 +804,7 @@ def main():
             "dim64": dim64,
             "scaling": scaling,
             "spgemm": spgemm,
+            "partition": partition,
         },
     }))
 

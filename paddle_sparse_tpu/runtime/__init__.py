@@ -27,7 +27,11 @@ _tried = False
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 
 
+_build_error: Optional[str] = None
+
+
 def _build() -> Optional[str]:
+    global _build_error
     os.makedirs(_BUILD_DIR, exist_ok=True)
     if (os.path.exists(_SO)
             and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
@@ -36,8 +40,18 @@ def _build() -> Optional[str]:
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _SO
-    except Exception:
+    except subprocess.CalledProcessError as e:  # keep the compiler's say
+        _build_error = (e.stderr or b"").decode("utf-8", "replace")[-2000:]
         return None
+    except Exception as e:  # noqa: BLE001
+        _build_error = f"{type(e).__name__}: {e}"
+        return None
+
+
+def build_error() -> Optional[str]:
+    """Why the lazy native build failed (None if it succeeded or was
+    never attempted) — surfaced by the slow-path sampler warning."""
+    return _build_error
 
 
 def _load() -> Optional[ctypes.CDLL]:
