@@ -208,10 +208,20 @@ def test_scaling_estimates():
     rep = scaling_report(8, 124_000_000, 2_449_029, 2_449_029, 256,
                          achieved_gbps=280.0)
     for s, r in rep.items():
+        if not isinstance(r, dict):     # scalar metadata (target_gbps)
+            continue
         assert 0 < r["efficiency"] <= 1.0, (s, r)
+        assert 0 < r["efficiency_at_target"] <= 1.0, (s, r)
     # at this shape every strategy should scale well (compute-dominated)
     assert rep["ring"]["efficiency"] >= 0.8
     assert rep["halo"]["efficiency"] >= 0.8
+    # the at-target column must DISCRIMINATE at pod scale: all-gather's
+    # replicated exchange cannot hold 80% at D=256 where 2-D can
+    pod = scaling_report(256, 124_000_000, 2_449_029, 2_449_029, 256,
+                         achieved_gbps=280.0)
+    assert pod["all_gather"]["efficiency_at_target"] < 0.5
+    assert pod["2d"]["efficiency_at_target"] > \
+        pod["all_gather"]["efficiency_at_target"]
 
     # papers100M-like: N huge, all-gather must fall off a cliff vs halo
     big = {"nnz": 1_600_000_000, "m": 111_000_000, "n": 111_000_000,
