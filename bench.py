@@ -69,13 +69,16 @@ HBM_GBPS = {
 # slower everywhere); xla is last: its segment-sum compile alone exceeds
 # most slices on this toolchain.
 PROBE_PLAN = (
-    ("seg2_bf16", (0.125, 1.0), 0.60),
+    ("seg2_bf16", (0.125, 1.0), 0.75),
     ("pallas_bf16", (0.125,), 0.25),
-    ("pallas", (0.0625,), 0.15),
 )
 # the XLA oracle runs LAST with whatever budget remains: its segment-sum
 # compile alone takes ~6 min on this toolchain and cannot be interrupted
-# gracefully, so nothing may be scheduled after it
+# gracefully, so nothing may be scheduled after it.  OFF by default since
+# round 4 (the full-scale powerlaw probe took its slice; the oracle's
+# r3 measured point, frac 0.0675 at 1/16 scale, is recorded in
+# BASELINE.md and the emitter has not changed) — re-enable via
+# BENCH_XLA=1.
 XLA_ORACLE_SCALE = 0.0625
 MIN_HEADLINE_NNZ = 12_000_000  # headline = best probe at >= this many edges
 
@@ -428,9 +431,14 @@ def spgemm_probe():
            "row_flop_cap": F, "plan_s": round(plan_s, 2),
            "unit": "Mnnz/s"}
     bw = bandwidth_for(jax.devices()[0].device_kind)
+    t_probe0 = time.perf_counter()
     variants = [("fast", True)] if F is not None else []
     variants.append(("esc", False))
     for name, fast in variants:
+        if name == "esc" and "fast" in out and \
+                time.perf_counter() - t_probe0 > 110:
+            out["esc"] = {"skipped": "budget (fast path captured)"}
+            break
         iters = 5
         t0 = time.perf_counter()
         loop = make_loop(fast)
@@ -646,11 +654,11 @@ def main():
                   else dict((b, s) for b, s, _ in PROBE_PLAN).get(
                       forced, (0.125,)))
         plan = ((forced, scales, 1.0),)
-    want_oracle = not forced and os.environ.get("BENCH_XLA", "1") != "0"
+    want_oracle = not forced and os.environ.get("BENCH_XLA", "0") == "1"
     spmm_budget = deadline - time.monotonic() - (
-        200 if os.environ.get("BENCH_POWERLAW", "1") != "0" else 10) - (
-        100 if os.environ.get("BENCH_DIM64", "1") != "0" else 0) - (
-        280 if want_oracle else 0)
+        330 if os.environ.get("BENCH_POWERLAW", "1") != "0" else 10) - (
+        140 if os.environ.get("BENCH_DIM64", "1") != "0" else 0) - (
+        280 if want_oracle else 0) - 40
     spmm_budget = max(spmm_budget, 120.0)
 
     results = {}   # backend -> list of successful probe dicts
