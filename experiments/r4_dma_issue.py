@@ -33,7 +33,9 @@ def main():
     stream = jax.random.normal(kv, (8 << 20 >> 9 << 9, K), jnp.bfloat16)
     nstream = stream.shape[0]
     # per (step, span) staged-slice starts, 16-aligned
-    e0 = (jax.random.randint(kc, (STEPS, NS), 0, nstream - CAP,
+    # 1-D prefetch: 2-D SMEM operands pad to 128 lanes and blow the
+    # 1 MB SMEM budget
+    e0 = (jax.random.randint(kc, (STEPS * NS,), 0, nstream - CAP,
                              dtype=jnp.int32) // 16) * 16
     _ = float(stream[0, 0].astype(jnp.float32))
 
@@ -43,12 +45,12 @@ def main():
             t = pl.program_id(0)
             for s in range(NS):
                 pltpu.make_async_copy(
-                    stream_ref.at[pl.ds(e0_ref[t, s], CAP), :],
+                    stream_ref.at[pl.ds(pl.multiple_of(e0_ref[t * NS + s], 16), CAP), :],
                     staging.at[pl.ds(s * CAP, CAP), :],
                     sems.at[s]).start()
             for s in range(NS):
                 pltpu.make_async_copy(
-                    stream_ref.at[pl.ds(e0_ref[t, s], CAP), :],
+                    stream_ref.at[pl.ds(pl.multiple_of(e0_ref[t * NS + s], 16), CAP), :],
                     staging.at[pl.ds(s * CAP, CAP), :],
                     sems.at[s]).wait()
             sel = jnp.broadcast_to(
@@ -106,7 +108,7 @@ def main():
             "bytes_per_step_KB": edges * K * 2 // 1024,
             "compile_s": round(cs, 1)}), flush=True)
     except Exception as e:  # noqa: BLE001
-        print(json.dumps({"error": f"{type(e).__name__}: {e}"[:300]}),
+        print(json.dumps({"error": f"{type(e).__name__}: {e}"[:20000]}),
               flush=True)
 
 

@@ -705,6 +705,118 @@ def band_reduce_call(chunk_span, chunk_row0, chunk_nj, bounds_start,
       stream2d)
 
 
+def _tilespan_kernel(e0_ref, bst_ref, ben_ref, stream_ref, out_ref,
+                     staging, sems, *, S: int, T_B: int, CAP_TS: int,
+                     R: int, K: int, split: bool):
+    t = pl.program_id(0)
+
+    def issue(tt, slot):
+        for s in range(S):
+            pltpu.make_async_copy(
+                stream_ref.at[pl.ds(
+                    pl.multiple_of(e0_ref[tt * S + s], 16), CAP_TS), :],
+                staging.at[slot, pl.ds(s * CAP_TS, CAP_TS), :],
+                sems.at[slot, s]).start()
+
+    @pl.when(t == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(t + 1 < T_B)
+    def _():
+        issue(t + 1, (t + 1) % 2)
+
+    slot = t % 2
+    for s in range(S):
+        pltpu.make_async_copy(
+            stream_ref.at[pl.ds(
+                pl.multiple_of(e0_ref[t * S + s], 16), CAP_TS), :],
+            staging.at[slot, pl.ds(s * CAP_TS, CAP_TS), :],
+            sems.at[slot, s]).wait()
+
+    # transposed selection over the staged spans: edges on sublanes,
+    # rows on lanes; bounds are staging-relative (plan-precomposed)
+    parts = []
+    for s in range(S):
+        e_ids = (jax.lax.broadcasted_iota(jnp.int32, (CAP_TS, R), 0)
+                 + s * CAP_TS)
+        st = bst_ref[0, s, :][None, :]
+        en = ben_ref[0, s, :][None, :]
+        parts.append((e_ids >= st) & (e_ids < en))
+    sel_t = jnp.concatenate(parts, axis=0)          # (S*CAP_TS, R)
+    p = staging[slot]
+    dn = (((0,), (0,)), ((), ()))
+    if p.dtype == jnp.bfloat16:
+        acc = jax.lax.dot_general(sel_t.astype(jnp.bfloat16), p,
+                                  dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32)
+    elif split:
+        sel16 = sel_t.astype(jnp.bfloat16)
+        hi = p.astype(jnp.bfloat16)
+        lo = (p - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(sel16, hi, dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(sel16, lo, dimension_numbers=dn,
+                                        preferred_element_type=jnp.float32)
+    else:
+        acc = jax.lax.dot_general(sel_t.astype(jnp.float32), p,
+                                  dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+    out_ref[:] = acc
+
+
+def tilespan_call(e0a, bst, ben, stream2d, *, S: int, T_B: int,
+                  CAP_TS: int, K: int, R: int = 128, split: bool = True,
+                  interpret: bool = False):
+    """Tile-span staging SpMM reduction — one grid step per 128-row
+    output tile; ALL S segment spans of that tile are staged into VMEM
+    with double-buffered async DMAs, selected with one transposed mask
+    and folded in ONE MXU dot.  Each output tile is written exactly once
+    (no accumulator traffic, no (chunk, tile) work-item machinery — the
+    round-3/4 kernels' measured ~1.3 us/item fixed cost simply has ~40x
+    fewer steps to bite; DMA issue measured ~1.1 us/copy and overlaps
+    the next tile's compute — experiments/r4_dma_issue.py).
+
+    ``e0a``: (T_B*S,) 16-aligned staged-slice starts into the band
+    stream; ``bst``/``ben``: (T_B, S, R) staging-relative row bounds;
+    ``stream2d``: the stacked (>= S*cap + CAP_TS, K) product stream
+    (stays in HBM).  Returns (T_B*R, K) f32."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T_B,),
+        in_specs=[
+            pl.BlockSpec((1, S, R), lambda t, e: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, R), lambda t, e: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((R, K), lambda t, e: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, S * CAP_TS, K), stream2d.dtype),
+            pltpu.SemaphoreType.DMA((2, S)),
+        ])
+    kernel = functools.partial(_tilespan_kernel, S=S, T_B=T_B,
+                               CAP_TS=CAP_TS, R=R, K=K, split=split)
+    vmem = (4 * S * CAP_TS * K * stream2d.dtype.itemsize
+            + 2 * S * CAP_TS * R * 2 + (8 << 20))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T_B * R, K), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem), 100 << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T_B * S * CAP_TS * R * K * (2 if split else 6),
+            bytes_accessed=T_B * S * CAP_TS * K
+            * stream2d.dtype.itemsize + T_B * R * K * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(e0a, bst, ben, stream2d)
+
+
 def sddmm_dot_chunked(row: jax.Array, col: jax.Array, g: jax.Array,
                       x: jax.Array, target_bytes: int = 512 * 1024 * 1024,
                       out_dtype=None) -> jax.Array:

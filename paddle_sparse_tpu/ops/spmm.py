@@ -228,7 +228,7 @@ def make_spmm_plan(row, col, num_rows: int, num_cols: int, feat_dim: int,
                                      target_bytes=target_bytes)
     bs_t_np, CRT, ECT = plan_edge_blocks(cp_np, feat_dim,
                                          target_bytes=target_bytes)
-    interpret = jax.default_backend() == "cpu"
+    interpret = not _tpu_platform()   # default_device(cpu) aware
     num_pseudo = int(rp_np.shape[0]) - 1
     num_pseudo_t = int(cp_np.shape[0]) - 1
     from .kernels.spmm_pallas import _stream_env

@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .spmm_seg2 import _interpret_mode
+
 SEG_ROWS = 1 << 17     # fast-gather source threshold (measured v5e)
 
 
@@ -177,7 +179,7 @@ def make_seg_plan(row, col, num_rows: int, num_cols: int, *,
 
     plan = SegPlan(num_rows, num_cols, CR, EC, S, CRT, ECT, S_t,
                    seg_rows=seg_rows,
-                   interpret=jax.default_backend() == "cpu")
+                   interpret=_interpret_mode())
     perm_ft = jnp.take(_invert(perm), perm_t)
     structure = SegStructure(lcol, lrow, wptr, perm,
                              lcol_t, lrow_t, wptr_t, perm_t, perm_ft)

@@ -96,6 +96,16 @@ class Seg2Structure(NamedTuple):
     dv_map: jax.Array      # (nnz,) fwd position -> dv sub-window slot
 
 
+def _interpret_mode() -> bool:
+    """Pallas interpret needed?  True when lowering targets CPU — keyed
+    on the default DEVICE override first (like ops.spmm._tpu_platform): a
+    ``jax.default_device(cpu)`` context (the multichip dry run on a
+    TPU-attached process) must get interpret kernels even though
+    ``jax.default_backend()`` still reports the TPU plugin."""
+    from .spmm import _tpu_platform
+    return not _tpu_platform()
+
+
 def _lg2(v: int) -> int:
     return int(v).bit_length() - 1
 
@@ -301,7 +311,7 @@ def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
 
     plan = Seg2Plan(M, N, S, SR, W, ECW, CRW, S_t, SR_t, W_t, ECW_t,
                     CRW_t, chunk=E,
-                    interpret=jax.default_backend() == "cpu",
+                    interpret=_interpret_mode(),
                     stream=stream)
     structure = Seg2Structure(
         col_f=col_f, rp_f=rp_f, perm_f=order_f, sbase_f=sbase_f,

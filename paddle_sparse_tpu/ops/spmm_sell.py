@@ -54,6 +54,8 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+from .spmm_seg2 import _interpret_mode
 import numpy as np
 
 from .convert import ind2ptr
@@ -268,7 +270,7 @@ def make_sell_plan(row, col, num_rows: int, num_cols: int, *,
 
     CB, GC, _ = _plan_blocks(np.asarray(gptr), feat_dim, target_bytes)
     CBT, GCT, _ = _plan_blocks(np.asarray(gptr_t), feat_dim, target_bytes)
-    on_cpu = jax.default_backend() == "cpu"
+    on_cpu = _interpret_mode()
     if l2_backend is None:
         k_ok = (feat_dim >= 128 and feat_dim % 128 == 0) or (
             feat_dim < 128 and 128 % feat_dim == 0)

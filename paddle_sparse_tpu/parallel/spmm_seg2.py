@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.spmm_seg2 import (Seg2Plan, Seg2Structure, _build_fwd,
+from ..ops.spmm_seg2 import (_interpret_mode,
+                             Seg2Plan, Seg2Structure, _build_fwd,
                              _build_t, _pick_sr, _relays, _spans,
                              spmm_seg2)
 from .spmm import RowShardedMatrix
@@ -108,7 +109,7 @@ def make_seg2_plan_sharded(mat: RowShardedMatrix, *, feat_dim: int,
 
     plan = Seg2Plan(M_local, N, S, SR, W, ECW, CRW, S_t, SR_t, W_t,
                     ECW_t, CRW_t, chunk=E,
-                    interpret=jax.default_backend() == "cpu",
+                    interpret=_interpret_mode(),
                     stream=stream)
     structure = Seg2Structure(
         col_f=col_f, rp_f=rp_f, perm_f=order_f, sbase_f=sbase_f,
