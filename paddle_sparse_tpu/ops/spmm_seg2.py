@@ -239,7 +239,7 @@ def _relays(order_f, perm_t, wptr_t, *, W_t, ECW_t):
 
 def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
                    feat_dim: int, stream: Optional[str] = None,
-                   chunk_edges: int = 512,
+                   chunk_edges: Optional[int] = None,
                    sr: Optional[int] = None,
                    window_bytes: int = WINDOW_BYTES):
     """Plan builder (eager; concrete indices).  Returns
@@ -258,6 +258,11 @@ def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
 
     stream = stream or _stream_env()
     stream_bytes = 2 if stream == "bf16" else 4
+    if chunk_edges is None:
+        # keep the kernel's per-chunk BYTES roughly constant: narrow K
+        # pays the same per-grid-step fixed cost for fewer edges, so
+        # scale the chunk up (measured: K=64 fwd 196 -> 189 ms at E=2048)
+        chunk_edges = min(4096, max(512, 512 * (256 // max(feat_dim, 1))))
 
     row = jnp.asarray(row, jnp.int32)
     col = jnp.asarray(col, jnp.int32)
