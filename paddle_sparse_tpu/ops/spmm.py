@@ -9,7 +9,10 @@ TPU-first:
   scale by ``value`` and segment-reduce by ``row`` — an XLA gather + sorted
   segment-sum that XLA fuses.  A Pallas kernel
   (``ops/kernels/spmm_pallas.py``) replaces this path on TPU when it beats
-  the XLA lowering.
+  the XLA lowering.  For repeated large-scale calls on one structure,
+  the round-4 flagship ``ops.spmm_seg2`` (segment-gathered, packed value
+  layout) is ~1.4x faster at ogbn-products scale — it has its own
+  plan/pack API because its value layout differs from COO order.
 * forward ``min``/``max``: segment-min/max of products, empty rows zeroed.
 * gradients: native JAX AD — the VJP of gather+segment-sum is exactly the
   transpose SpMM (scatter by ``col``) plus an SDDMM-style sampled dot for
