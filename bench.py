@@ -372,16 +372,25 @@ def measure(backend: str, scale: float, graph: str = "uniform",
         _log(f"{backend}@{scale}: skipping fwd+bwd (budget: need ~"
              f"{need:.0f}s)")
     else:
-        t0 = time.perf_counter()
-        run(fwd_bwd_loop, iters)
-        fwdbwd_compile_s = time.perf_counter() - t0
-        _log(f"{backend}@{scale}: fwd+bwd compile+warm done "
-             f"({fwdbwd_compile_s:.1f}s)")
-        t0 = time.perf_counter()
-        run(fwd_bwd_loop, iters)
-        fwdbwd_s = (time.perf_counter() - t0) / iters
-        _log(f"{backend}@{scale}: fwd+bwd timed {fwdbwd_s * 1e3:.2f} "
-             f"ms/iter")
+        # a bwd failure (e.g. HBM OOM at full-scale zipf: the dv stack +
+        # transpose buffers stack on the fwd residents) must not lose the
+        # captured forward numbers
+        try:
+            t0 = time.perf_counter()
+            run(fwd_bwd_loop, iters)
+            fwdbwd_compile_s = time.perf_counter() - t0
+            _log(f"{backend}@{scale}: fwd+bwd compile+warm done "
+                 f"({fwdbwd_compile_s:.1f}s)")
+            t0 = time.perf_counter()
+            run(fwd_bwd_loop, iters)
+            fwdbwd_s = (time.perf_counter() - t0) / iters
+            _log(f"{backend}@{scale}: fwd+bwd timed {fwdbwd_s * 1e3:.2f} "
+                 f"ms/iter")
+        except Exception as e:  # noqa: BLE001
+            fwdbwd_s = None
+            fwdbwd_compile_s = None
+            _log(f"{backend}@{scale}: fwd+bwd FAILED "
+                 f"({type(e).__name__}: {str(e)[:120]}) — keeping fwd")
 
     out = {"fwd_s": fwd_s, "fwdbwd_s": fwdbwd_s, "nnz": nnz,
            "nodes": num_nodes, "dim": dim, "iters": iters,
