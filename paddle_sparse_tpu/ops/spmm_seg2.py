@@ -207,8 +207,15 @@ def _spans(rp, *, W, ECW, M):
     def seg_spans(rps, bases):
         r_lo = jnp.clip(
             jnp.searchsorted(rps, bases, side="right") - 1, 0, M - 1)
+        # clamp the end query to the segment window's last edge: a
+        # sub-window straddling the window end must not claim the empty
+        # tail rows (un-clamped, r_hi saturates at M-1, and on skewed
+        # graphs — where small segments straddle in their FIRST
+        # sub-window — CRW inflates to the whole row space and the
+        # backward fails to compile at full zipf scale)
         r_hi = jnp.clip(
-            jnp.searchsorted(rps, bases + ECW, side="left") - 1,
+            jnp.searchsorted(rps, jnp.minimum(bases + ECW, rps[-1]),
+                             side="left") - 1,
             0, M - 1)
         return r_lo, jnp.maximum(r_hi, r_lo)
 
