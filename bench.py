@@ -8,9 +8,12 @@ HBM bandwidth.
 
 Compute paths measured — each in a guarded subprocess (a wedged TPU program
 cannot take down the whole run):
-  * "pallas" — chunked XLA-gather + Pallas streaming row reduction
-  * "sell"   — padded-group fused gather/reduce (ops/spmm_sell.py)
-  * "xla"    — gather + sorted segment-sum
+  * "seg2"   — segment-gathered SpMM, packed values (r4 FLAGSHIP;
+               ops/spmm_seg2.py)
+  * "seg3"   — tile-span DMA-staged variant (ops/spmm_seg3.py; opt-in)
+  * "pallas" — r3 chunked XLA-gather + Pallas work-item reduction
+  * "sell"   — padded-group fused gather/reduce (ops/spmm_sell.py; opt-in)
+  * "xla"    — gather + sorted segment-sum oracle (opt-in, BENCH_XLA=1)
 The headline is the best probe at >=12M nnz (falling back to the best
 overall).  Round-2 failure mode fixed here (VERDICT r2 items 1/3/5): the
 budget is SLICED PER BACKEND so one broken path cannot starve the others,
