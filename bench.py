@@ -14,16 +14,22 @@ cannot take down the whole run):
   * "pallas" — r3 chunked XLA-gather + Pallas work-item reduction
   * "sell"   — padded-group fused gather/reduce (ops/spmm_sell.py; opt-in)
   * "xla"    — gather + sorted segment-sum oracle (opt-in, BENCH_XLA=1)
-The headline is the best probe at >=12M nnz (falling back to the best
-overall).  Round-2 failure mode fixed here (VERDICT r2 items 1/3/5): the
+Round-2 failure mode fixed here (VERDICT r2 items 1/3/5): the
 budget is SLICED PER BACKEND so one broken path cannot starve the others,
 probes run smallest scale first so every backend lands a number before
 attempting full scale, the SpGEMM probe runs FIRST in a reserved slice, and
 ``measure()`` streams phase telemetry to stderr so a timeout's tail shows
 where it stalled.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is achieved_fraction / 0.70 (the north-star target).
+Output protocol (round 5 — VERDICT r4 item 4: BENCH_r04 was unparseable
+because one giant JSON line overflowed the driver's 2000-char tail):
+  * the FULL record (headline + all detail) is written to
+    ``bench_out.json`` next to this file and printed as a first line;
+  * the LAST stdout line is a compact {"metric", "value", "unit",
+    "vs_baseline", "detail": <trimmed>} object small enough to survive
+    tail capture.  vs_baseline = achieved_fraction / 0.70 (north star).
+The headline is the FULL-target-scale probe (the north star names
+ogbn-products); the best >=12M-nnz regime is a detail field.
 
 Timing methodology: the iteration loop runs INSIDE one jit (fori_loop with a
 scalar data dependency chaining iterations) and the warm-up call uses the
@@ -728,7 +734,13 @@ def main():
                 results.setdefault(backend, []).append(r)
                 probe_log[f"{backend}@{scale}"] = {
                     "fwd_ms": round(r["fwd_s"] * 1e3, 2),
-                    "frac": round(frac_of(r), 4)}
+                    "frac": round(frac_of(r), 4),
+                    # one gathered x-row per edge: a regression in the
+                    # 64 MB fast-gather gate (toolchain update) shows up
+                    # here instead of silently halving the headline
+                    # (VERDICT r4 item 8; fast mode ~217 Mrows/s)
+                    "gather_Mrows_s": round(r["nnz"] / r["fwd_s"] / 1e6,
+                                            1)}
             else:
                 probe_log[f"{backend}@{scale}"] = err
                 break  # larger scales of a failing backend won't do better
@@ -757,6 +769,8 @@ def main():
         powerlaw = ({"backend": best_backend, "scale": pl_scale,
                      "nnz": r["nnz"],
                      "fwd_ms": round(r["fwd_s"] * 1e3, 2),
+                     "fwd_bwd_ms": (round(r["fwdbwd_s"] * 1e3, 2)
+                                    if r.get("fwdbwd_s") else None),
                      "frac": round(frac_of(r), 4),
                      "capacity_blowup": r.get("capacity_blowup")}
                     if r is not None else {"error": err})
@@ -774,6 +788,8 @@ def main():
             extra_env={"BENCH_DIM": "64"})
         dim64 = ({"backend": best_backend,
                   "fwd_ms": round(r["fwd_s"] * 1e3, 2),
+                  "fwd_bwd_ms": (round(r["fwdbwd_s"] * 1e3, 2)
+                                 if r.get("fwdbwd_s") else None),
                   "frac": round(frac_of(r), 4), "nnz": r["nnz"]}
                  if r is not None else {"error": err})
 
@@ -802,20 +818,28 @@ def main():
             probe_log["xla"] = {"error": "budget spent"}
 
     if not results:
-        print(json.dumps({"metric": "spmm_fwd_roofline_frac", "value": 0.0,
-                          "unit": "fraction_of_hbm_roofline",
-                          "vs_baseline": 0.0,
-                          "detail": {"error": "all probes failed",
-                                     "probes": probe_log,
-                                     "spgemm": spgemm}}))
+        emit_record({"metric": "spmm_fwd_roofline_frac", "value": 0.0,
+                     "unit": "fraction_of_hbm_roofline",
+                     "vs_baseline": 0.0,
+                     "detail": {"error": "all probes failed",
+                                "probes": probe_log,
+                                "spgemm": spgemm}})
         return
 
-    # headline: best fraction among probes at >= 12M nnz (BASELINE.md row
-    # 2 regime); fall back to best overall if none reached that size
+    # headline: the FULL-target-scale probe (the north star names
+    # ogbn-products, ~124M nnz); fall back to the best >=12M-nnz probe,
+    # then best overall.  The best large regime is reported separately
+    # in detail (VERDICT r4 item 4: the r4 headline hid a 24% drop).
     all_probes = [r for rs in results.values() for r in rs]
+    full = [r for r in all_probes if r.get("scale", 0) >= 1.0]
     big = [r for r in all_probes if r["nnz"] >= MIN_HEADLINE_NNZ]
-    pool = big if big else all_probes
+    pool = full or big or all_probes
     r = max(pool, key=frac_of)
+    br = max(big or all_probes, key=frac_of)
+    best_regime = {
+        "backend": next(b for b, rs in results.items() if br in rs),
+        "nnz": br["nnz"], "frac": round(frac_of(br), 4),
+        "fwd_ms": round(br["fwd_s"] * 1e3, 2)} if br is not r else None
     best = next(b for b, rs in results.items() if r in rs)
     kind = r.get("device_kind", "unknown")
     bw_gbps = bandwidth_for(kind)
@@ -837,7 +861,7 @@ def main():
     except Exception as e:  # noqa: BLE001
         scaling = {"error": str(e)[:200]}
 
-    print(json.dumps({
+    emit_record({
         "metric": "spmm_fwd_roofline_frac",
         "value": round(frac, 4),
         "unit": "fraction_of_hbm_roofline",
@@ -857,7 +881,9 @@ def main():
                               if r.get("fwdbwd_s") else None),
             "fwd_gbps": round(fwd_gbps, 1),
             "nnz_per_s_G": round(r["nnz"] / r["fwd_s"] / 1e9, 3),
+            "gather_Mrows_s": round(r["nnz"] / r["fwd_s"] / 1e6, 1),
             "hbm_gbps": bw_gbps,
+            "best_regime": best_regime,
             "compile_s": {"fwd": r.get("fwd_compile_s"),
                           "bwd": r.get("fwdbwd_compile_s")},
             "probes": probe_log,
@@ -867,7 +893,47 @@ def main():
             "spgemm": spgemm,
             "partition": partition,
         },
-    }))
+    })
+
+
+# detail keys small enough (and load-bearing enough) to ride in the
+# compact tail line; everything else lives in bench_out.json
+_COMPACT_KEYS = ("device", "backend", "stream", "scale", "nnz", "dim",
+                 "fwd_ms", "fwd_bwd_ms", "fwd_bwd_ratio", "fwd_gbps",
+                 "gather_Mrows_s", "best_regime", "powerlaw", "dim64",
+                 "error")
+
+
+def emit_record(record: dict):
+    """Write the full record to bench_out.json + stdout, then print the
+    COMPACT record as the LAST line (the driver keeps only a short stdout
+    tail and parses the last JSON line — VERDICT r4 item 4)."""
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_out.json")
+        with open(path, "w") as f:
+            json.dump(record, f, indent=1)
+    except OSError as e:
+        _log(f"bench_out.json write failed: {e}")
+    print(json.dumps(record))
+    detail = record.get("detail", {})
+    compact = dict(record)
+    compact["detail"] = {k: detail[k] for k in _COMPACT_KEYS
+                         if detail.get(k) is not None}
+    spg = detail.get("spgemm") or {}
+    if "c_nnz_per_s_M" in spg:
+        compact["detail"]["spgemm"] = {
+            k: spg.get(k) for k in ("c_nnz_per_s_M", "a_nnz", "backend",
+                                    "plan_s", "roofline_frac")}
+    line = json.dumps(compact)
+    if len(line) > 1800:  # hard guard: the tail line must survive capture
+        compact["detail"] = {k: compact["detail"][k] for k in
+                             ("device", "backend", "nnz", "fwd_ms",
+                              "fwd_bwd_ms", "error")
+                             if compact["detail"].get(k) is not None}
+        line = json.dumps(compact)
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":

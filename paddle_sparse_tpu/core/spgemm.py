@@ -150,26 +150,33 @@ def _paired_gather(ivals, fvals, idx):
     (f32 bits ride in an int32 lane).  Differentiable in ``fvals`` via a
     custom VJP — ``bitcast_convert_type`` itself is not differentiable —
     whose backward is exactly what AD emits for a plain gather (a
-    scatter-add of the cotangent)."""
+    scatter-add of the cotangent).
+
+    Out-of-range indices are CLAMPED, in both directions (ADVICE r4):
+    the forward reads the boundary row, so its cotangent is scatter-added
+    to that same boundary row — primal and gradient follow one index
+    semantics."""
+    idx = jnp.clip(idx, 0, ivals.shape[0] - 1)
     packed = jnp.stack(
         [ivals.astype(jnp.int32),
          jax.lax.bitcast_convert_type(fvals.astype(jnp.float32),
                                       jnp.int32)], axis=1)
-    g = jnp.take(packed, idx, axis=0, mode="clip")
+    g = jnp.take(packed, idx, axis=0)
     return g[:, 0], jax.lax.bitcast_convert_type(g[:, 1], jnp.float32)
 
 
 def _paired_gather_fwd(ivals, fvals, idx):
-    return _paired_gather(ivals, fvals, idx), (fvals.shape[0], idx)
+    idx_c = jnp.clip(idx, 0, ivals.shape[0] - 1)
+    return _paired_gather(ivals, fvals, idx), (fvals.shape[0], idx_c)
 
 
 def _paired_gather_bwd(res, ct):
     import numpy as np
-    n, idx = res
+    n, idx_c = res
     _, ct_f = ct
-    d_f = jnp.zeros((n,), jnp.float32).at[idx].add(ct_f, mode="drop")
+    d_f = jnp.zeros((n,), jnp.float32).at[idx_c].add(ct_f)
     return (np.zeros((n,), jax.dtypes.float0), d_f,
-            np.zeros(idx.shape, jax.dtypes.float0))
+            np.zeros(idx_c.shape, jax.dtypes.float0))
 
 
 _paired_gather.defvjp(_paired_gather_fwd, _paired_gather_bwd)
@@ -280,10 +287,18 @@ def spspmm_rowsorted(A: PaddedCOO, B: PaddedCOO, row_flop_capacity: int,
 
     # compress via sorted segment reductions (every element of a segment
     # shares (row, col), so max == the coordinate) — segment ops lower
-    # better than the scatter emitter on this toolchain
+    # better than the scatter emitter on this toolchain.
+    #
+    # The segment ids must stay MONOTONE to honor indices_are_sorted=True
+    # (ADVICE r4, medium): a per-row pad sentinel interleaves between
+    # rows, and the TPU scatter emitter treats the hint as a promise.
+    # ``seg`` is non-decreasing by construction (cumsum of a mask), so a
+    # plain clip keeps it monotone; pad elements then land in their own
+    # row's last open segment with ZERO contributions (prod and the
+    # max-reduced coordinates are already masked to 0 below), which is
+    # harmless.
     valid_flat = out_col < N
-    seg_cl = jnp.where(valid_flat & (seg < out_capacity), seg,
-                       out_capacity)
+    seg_cl = jnp.clip(seg, 0, out_capacity)
     arange_out = jnp.arange(out_capacity)
     rowC = jax.ops.segment_max(
         jnp.where(valid_flat, out_row, 0), seg_cl,

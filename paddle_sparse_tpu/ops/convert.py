@@ -53,9 +53,15 @@ def _expand_ptr(ptr: jax.Array, E: int) -> jax.Array:
 
 
 def ptr2ind(ptr: jax.Array, E: int) -> jax.Array:
-    """CSR row pointer -> COO row indices of length ``E`` (= ptr[-1])."""
+    """CSR row pointer -> COO row indices of length ``E`` (= ptr[-1]).
+
+    Requires CANONICAL pointers (``ptr[0] == 0``, the reference's
+    contract too: ``csrc/cpu/convert_cpu.cpp:32-48`` iterates from
+    ``ptr[0]``).  Non-rebased pointers are rebased defensively — the
+    underlying scatter expansion would otherwise silently assign the
+    positions before ``ptr[0]`` to segment 0 (ADVICE r4)."""
     ptr = jnp.asarray(ptr)
-    return _expand_ptr(ptr, E)
+    return _expand_ptr(ptr - ptr[:1], E)
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -64,6 +70,7 @@ def ptr2ind_capped(ptr: jax.Array, capacity: int) -> jax.Array:
     ``ptr[-1]`` map to ``len(ptr) - 1`` (one-past-last row), the canonical
     padding row used by the static-shape core so padding sorts last."""
     ptr = jnp.asarray(ptr)
+    ptr = ptr - ptr[:1]  # canonical-CSR rebase, as in ptr2ind
     positions = jnp.arange(capacity, dtype=ptr.dtype)
     ind = _expand_ptr(ptr, capacity)
     M = ptr.shape[0] - 1

@@ -159,8 +159,13 @@ def make_seg3_plan(row, col, num_rows: int, num_cols: int, *,
         return max(16, cdiv(int(v), 16) * 16)
 
     SR = sr or _pick_sr(N, feat_dim, stream_bytes)
+    # non-pow2 SR silently corrupts: seg = col >> lg2(SR) then uses a
+    # narrower effective segment than S = ceil(N/SR) and edges vanish
+    # into dropped scatter slots (ADVICE r4)
+    assert SR & (SR - 1) == 0, "segment size must be a power of two"
     S = max(1, cdiv(N, SR))
     SR_t = sr or _pick_sr(M, feat_dim, stream_bytes)
+    assert SR_t & (SR_t - 1) == 0, "segment size must be a power of two"
     S_t = max(1, cdiv(M, SR_t))
     BAND = max(128, (band_rows // 128) * 128)
     bands = max(1, cdiv(M, BAND))

@@ -68,8 +68,12 @@ def make_seg2_plan_sharded(mat: RowShardedMatrix, *, feat_dim: int,
         return max(m, cdiv(int(v), m) * m)
 
     SR = sr or _pick_sr(N, feat_dim, stream_bytes)
+    # non-pow2 SR makes seg = col >> lg2(SR) drop edges silently
+    # (ADVICE r4) — mirror make_seg2_plan's guard
+    assert SR & (SR - 1) == 0, "segment size must be a power of two"
     S = max(1, cdiv(N, SR))
     SR_t = sr or _pick_sr(M_local, feat_dim, stream_bytes)
+    assert SR_t & (SR_t - 1) == 0, "segment size must be a power of two"
     S_t = max(1, cdiv(M_local, SR_t))
 
     rows = jnp.asarray(mat.row, jnp.int32)
