@@ -33,9 +33,20 @@ tile-aligned starts (``rlo``) are precomputed at plan time.
 
 Values live in the packed (segment, row)-sorted layout (convert once
 with :func:`pack_values` — like CSR keeps values in CSR order).  The
-backward runs the same machinery over the transpose structure
-(d_x = A^T @ g with g-segments in fast mode) and fuses the SDDMM
-value-gradient into the same pass, sharing the fast g-gather.
+backward (round-5 redesign, measured in experiments/r5_bwd_bisect.py /
+r5_sddmm_micro.py) runs two passes:
+
+* d_x = A^T @ g over the transpose structure (g-segments in fast mode)
+  — same machinery as the forward, ~1.0x its cost;
+* d_value (SDDMM) as a SEPARATE pass over the FORWARD geometry where
+  BOTH gathers run fast-mode: x rows come from the 64 MB x-segment
+  slice (as in the forward) and g rows from the sub-window's contiguous
+  row-range slice — rows are sorted within a segment, so a sub-window's
+  g rows live in one bounded slice.  dv is written directly in
+  fwd-packed order, which eliminates round 4's two full-nnz relays
+  (the (S_t*W_t, ECW_t) dv window stack — the full-scale power-law
+  backward OOM — and the dv_map permutation gather, measured at
+  ~8 ns/edge, pure issue cost).
 
 The reference has no SpMM (unsupported list, /root/reference/README.md:45);
 the functional contract implemented here is the upstream one documented
@@ -73,6 +84,12 @@ class Seg2Plan(NamedTuple):
     chunk: int = 512   # kernel edge-chunk size E
     interpret: bool = False
     stream: str = "f32"
+    # SDDMM (d_value) pass geometry: same fwd segments, but sub-windows
+    # shrunk until the row span fits the fast-gather gate as a g-source
+    # slice (round 5)
+    W_s: int = 1       # sddmm sub-windows per fwd segment
+    ECW_s: int = 0     # edge capacity per sddmm sub-window
+    CRW_s: int = 128   # g-source slice height (tile-padded row span)
 
 
 class Seg2Structure(NamedTuple):
@@ -91,9 +108,10 @@ class Seg2Structure(NamedTuple):
     rp_t: jax.Array        # (S_t, N+1) absolute out-row pointers
     sbase_t: jax.Array     # (S_t,)
     rlo_t: jax.Array       # (S_t*W_t,)
-    xrow_t: jax.Array      # (nnz,) global x-row (= colA) per t-edge
     relay_ft: jax.Array    # (nnz,) t position -> fwd position (values)
-    dv_map: jax.Array      # (nnz,) fwd position -> dv sub-window slot
+    row_f: jax.Array       # (nnz,) GLOBAL rows, fwd layout (sddmm pass)
+    rlo_s: jax.Array       # (S*W_s,) tile-aligned first row per sddmm
+                           # sub-window
 
 
 def _interpret_mode() -> bool:
@@ -225,23 +243,15 @@ def _spans(rp, *, W, ECW, M):
     return rlo, span
 
 
-@functools.partial(jax.jit, static_argnames=("W_t", "ECW_t"))
-def _relays(order_f, perm_t, wptr_t, *, W_t, ECW_t):
-    """Phase 4: precomposed scalar maps — value relay fwd->transpose and
-    the dv sub-window slot of every fwd position."""
+@jax.jit
+def _relays(order_f, perm_t):
+    """Phase 4: the value relay fwd->transpose (the one remaining
+    full-nnz permutation of the backward — its cost is pure gather-issue
+    rate, ~8 ns/edge measured)."""
     nnz_ = order_f.shape[0]
     ar = jnp.arange(nnz_, dtype=jnp.int32)
     inv_f = jnp.zeros((nnz_,), jnp.int32).at[order_f].set(ar)
-    inv_t = jnp.zeros((nnz_,), jnp.int32).at[perm_t].set(ar)
-    relay_ft = jnp.take(inv_f, perm_t)       # t pos -> fwd pos
-    relay_tf = jnp.take(inv_t, order_f)      # fwd pos -> t pos
-    # dv slot of each t position in the stacked (S_t*W_t, ECW_t)
-    # buffer: sub-window k = s*W_t + (pos - wptr[s]) // ECW_t
-    s_of_t = (jnp.searchsorted(wptr_t, ar, side="right") - 1
-              ).astype(jnp.int32)
-    off = ar - jnp.take(wptr_t, s_of_t)
-    slot_t = ((s_of_t * W_t + off // ECW_t) * ECW_t) + off % ECW_t
-    return relay_ft, jnp.take(slot_t, relay_tf)
+    return jnp.take(inv_f, perm_t)           # t pos -> fwd pos
 
 
 def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
@@ -316,19 +326,34 @@ def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
     CRW = rnd(int(span_f), 128)
     CRW_t = rnd(int(span_t), 128)
 
-    # ---- phase 4: relays (precomposed scalar maps) ---------------------
-    wptr_t = jnp.concatenate([rp_t[:, 0], rp_t[-1:, -1]])
-    relay_ft, dv_map = _relays(order_f, perm_t, wptr_t, W_t=W_t,
-                               ECW_t=ECW_t)
+    # ---- phase 3b: SDDMM (d_value) pass geometry ----------------------
+    # shrink sub-windows until the row span fits the fast gate as a
+    # g-source slice; floor the window size so pathologically sparse
+    # segments don't explode the window count (the slice then simply
+    # runs below peak rate)
+    fast_rows = max(128, (FAST_SRC_BYTES // max(1, feat_dim
+                                                * stream_bytes)))
+    W_s = W
+    while True:
+        ECW_s = rnd(cdiv(W * ECW, W_s), E)
+        rlo_s, span_s = _spans(rp_f, W=W_s, ECW=ECW_s, M=M)
+        if int(span_s) <= fast_rows or ECW_s <= 65536 or W_s >= 4096:
+            break
+        W_s *= 2
+    CRW_s = rnd(int(span_s), 128)
+
+    # ---- phase 4: value relay -----------------------------------------
+    relay_ft = _relays(order_f, perm_t)
+    row_f = jnp.take(row, order_f)
 
     plan = Seg2Plan(M, N, S, SR, W, ECW, CRW, S_t, SR_t, W_t, ECW_t,
                     CRW_t, chunk=E,
                     interpret=_interpret_mode(),
-                    stream=stream)
+                    stream=stream, W_s=W_s, ECW_s=ECW_s, CRW_s=CRW_s)
     structure = Seg2Structure(
         col_f=col_f, rp_f=rp_f, perm_f=order_f, sbase_f=sbase_f,
         rlo_f=rlo_f, col_t=col_t, rp_t=rp_t, sbase_t=sbase_t,
-        rlo_t=rlo_t, xrow_t=xrow_t, relay_ft=relay_ft, dv_map=dv_map)
+        rlo_t=rlo_t, relay_ft=relay_ft, row_f=row_f, rlo_s=rlo_s)
     return plan, structure
 
 
@@ -348,13 +373,9 @@ def unpack_values(s: Seg2Structure, packed: jax.Array) -> jax.Array:
 
 def _seg_pass(cols, rp, sbase, rlo, vals, x, *, out_rows: int, S: int,
               SR: int, W: int, ECW: int, CRW: int, E: int,
-              interpret: bool, pdt, extra_per_win=None):
+              interpret: bool, pdt):
     """Shared segment-outer pass: fast-mode gather + in-place accumulated
-    Pallas row reduction over S*W bounded sub-windows.
-
-    ``extra_per_win(k, raw_rows, e0)`` optionally computes a per-window
-    side product (the fused SDDMM); its stacked (S*W, ECW) results are
-    returned alongside the output."""
+    Pallas row reduction over S*W bounded sub-windows."""
     import jax.experimental.pallas as pl
 
     from .kernels.spmm_pallas import (_reduce_call, _row_bounds,
@@ -384,8 +405,7 @@ def _seg_pass(cols, rp, sbase, rlo, vals, x, *, out_rows: int, S: int,
 
     arange_tp = jnp.arange(T + 1, dtype=jnp.int32) * R
 
-    def body(k, carry):
-        out, extra = carry
+    def body(k, out):
         s = k // W
         w = k % W
         e0 = rp[s, 0] + w * ECW
@@ -405,28 +425,72 @@ def _seg_pass(cols, rp, sbase, rlo, vals, x, *, out_rows: int, S: int,
         prod = raw if valp is None else (
             raw * jax.lax.dynamic_slice(valp, (e0,), (ECW,)
                                         )[:, None].astype(pdt))
-        out = _reduce_call(bounds_start, bounds_end, prod, items,
-                           T, R, E, K, split=True, interpret=interpret,
-                           acc=out, tile_base=(r0 // R)[None])
-        if extra_per_win is not None:
-            extra = extra.at[k].set(extra_per_win(k, raw, e0))
-        return out, extra
+        return _reduce_call(bounds_start, bounds_end, prod, items,
+                            T, R, E, K, split=True, interpret=interpret,
+                            acc=out, tile_base=(r0 // R)[None])
 
     out0 = jnp.zeros((buf_tiles * R, K), jnp.float32)
-    extra0 = (jnp.zeros((S * W, ECW), jnp.float32)
-              if extra_per_win is not None else jnp.zeros((0,)))
-    out, extra = jax.lax.fori_loop(0, S * W, body, (out0, extra0))
-    return out[:out_rows], extra
+    out = jax.lax.fori_loop(0, S * W, body, out0)
+    return out[:out_rows]
+
+
+def _sddmm_pass(col_f, row_f, rp, sbase, rlo_s, g, x, *, M: int,
+                S: int, SR: int, W_s: int, ECW_s: int, CRW_s: int,
+                pdt):
+    """d_value in fwd-packed order: one pass over the FORWARD geometry.
+
+    Per sub-window both gathers are fast-mode — x rows from the 64 MB
+    x-segment slice (indices ``col_f``, slice-local), g rows from the
+    window's contiguous row-range slice ``g[rlo .. rlo+CRW_s)`` (rows
+    are sorted within a segment).  dv is written with a masked
+    read-modify-write dynamic-update-slice at the window's own fwd
+    offset: window tails past the segment end keep old values, which
+    the next segment's windows then overwrite (window order is
+    ascending, segments are contiguous in fwd order)."""
+    nnz = col_f.shape[0]
+    K = x.shape[1]
+    x2 = x.astype(pdt)
+    g2 = g.astype(pdt)
+    gp = jnp.concatenate([g2, jnp.zeros((CRW_s, K), g2.dtype)])
+    if x2.shape[0] < SR:
+        x2 = jnp.concatenate(
+            [x2, jnp.zeros((SR - x2.shape[0], K), x2.dtype)])
+    cp = jnp.concatenate([col_f, jnp.zeros((ECW_s,), jnp.int32)])
+    rpe = jnp.concatenate([row_f, jnp.zeros((ECW_s,), jnp.int32)])
+    arange_w = jnp.arange(ECW_s, dtype=jnp.int32)
+
+    def body(k, dv):
+        s = k // W_s
+        w = k % W_s
+        e0 = rp[s, 0] + w * ECW_s
+        cnt = jnp.clip(rp[s, M] - e0, 0, ECW_s)
+        cols_l = jax.lax.dynamic_slice(cp, (e0,), (ECW_s,))
+        rows_l = jax.lax.dynamic_slice(rpe, (e0,), (ECW_s,))
+        r0 = rlo_s[k]
+        src_x = jax.lax.optimization_barrier(jax.lax.dynamic_slice(
+            x2, (jnp.take(sbase, s), jnp.int32(0)), (SR, K)))
+        src_g = jax.lax.optimization_barrier(jax.lax.dynamic_slice(
+            gp, (r0, jnp.int32(0)), (CRW_s, K)))
+        xg = jnp.take(src_x, cols_l, axis=0, mode="clip")
+        gg = jnp.take(src_g, rows_l - r0, axis=0, mode="clip")
+        w_dv = (xg.astype(jnp.float32)
+                * gg.astype(jnp.float32)).sum(axis=1)
+        old = jax.lax.dynamic_slice(dv, (e0,), (ECW_s,))
+        new = jnp.where(arange_w < cnt, w_dv, old)
+        return jax.lax.dynamic_update_slice(dv, new, (e0,))
+
+    dv = jax.lax.fori_loop(0, S * W_s, body,
+                           jnp.zeros((nnz + ECW_s,), jnp.float32))
+    return dv[:nnz]
 
 
 def _fwd_impl(plan: Seg2Plan, s: Seg2Structure, packed_value, x):
     from .kernels.spmm_pallas import _product_dtype
     pdt = _product_dtype(packed_value, x, plan.stream)
-    out, _ = _seg_pass(s.col_f, s.rp_f, s.sbase_f, s.rlo_f, packed_value,
-                       x, out_rows=plan.num_rows, S=plan.S, SR=plan.SR,
-                       W=plan.W, ECW=plan.ECW, CRW=plan.CRW,
-                       E=plan.chunk, interpret=plan.interpret, pdt=pdt)
-    return out
+    return _seg_pass(s.col_f, s.rp_f, s.sbase_f, s.rlo_f, packed_value,
+                     x, out_rows=plan.num_rows, S=plan.S, SR=plan.SR,
+                     W=plan.W, ECW=plan.ECW, CRW=plan.CRW,
+                     E=plan.chunk, interpret=plan.interpret, pdt=pdt)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -450,34 +514,25 @@ def _spmm_seg2_bwd(plan, res, g):
     s, packed_value, x = res
     pdt = _product_dtype(packed_value, g, plan.stream)
     if packed_value is not None:
+        # value relay: the one full-nnz permutation left (issue-bound)
         value_t = jnp.take(packed_value, s.relay_ft)
-        xrow_p = jnp.concatenate(
-            [s.xrow_t, jnp.zeros((plan.ECW_t,), jnp.int32)])
-
-        def sddmm(k, g_raw, e0):
-            # shares the fast g-gather (g_raw); x rows come from the
-            # big-source gather (slow mode — the one unavoidable big
-            # gather of the backward); the bf16 cast fuses into it
-            xr = jnp.take(x, jax.lax.dynamic_slice(
-                xrow_p, (e0,), (plan.ECW_t,)), axis=0,
-                mode="clip").astype(pdt)
-            return (g_raw.astype(jnp.float32)
-                    * xr.astype(jnp.float32)).sum(axis=1)
-
-        d_x, dv_stack = _seg_pass(
+        d_x = _seg_pass(
             s.col_t, s.rp_t, s.sbase_t, s.rlo_t, value_t, g,
             out_rows=plan.num_cols, S=plan.S_t, SR=plan.SR_t,
             W=plan.W_t, ECW=plan.ECW_t, CRW=plan.CRW_t, E=plan.chunk,
-            interpret=plan.interpret, pdt=pdt, extra_per_win=sddmm)
-        d_value = jnp.take(dv_stack.reshape(-1), s.dv_map,
-                           mode="clip").astype(packed_value.dtype)
+            interpret=plan.interpret, pdt=pdt)
+        d_value = _sddmm_pass(
+            s.col_f, s.row_f, s.rp_f, s.sbase_f, s.rlo_s, g, x,
+            M=plan.num_rows, S=plan.S, SR=plan.SR, W_s=plan.W_s,
+            ECW_s=plan.ECW_s, CRW_s=plan.CRW_s,
+            pdt=pdt).astype(packed_value.dtype)
     else:
         d_value = None
-        d_x, _ = _seg_pass(s.col_t, s.rp_t, s.sbase_t, s.rlo_t, None, g,
-                           out_rows=plan.num_cols, S=plan.S_t,
-                           SR=plan.SR_t, W=plan.W_t, ECW=plan.ECW_t,
-                           CRW=plan.CRW_t, E=plan.chunk,
-                           interpret=plan.interpret, pdt=pdt)
+        d_x = _seg_pass(s.col_t, s.rp_t, s.sbase_t, s.rlo_t, None, g,
+                        out_rows=plan.num_cols, S=plan.S_t,
+                        SR=plan.SR_t, W=plan.W_t, ECW=plan.ECW_t,
+                        CRW=plan.CRW_t, E=plan.chunk,
+                        interpret=plan.interpret, pdt=pdt)
     d_s = jax.tree_util.tree_map(
         lambda a: np.zeros(a.shape, jax.dtypes.float0), s)
     return d_s, d_value, d_x.astype(x.dtype)

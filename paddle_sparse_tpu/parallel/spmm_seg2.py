@@ -106,19 +106,32 @@ def make_seg2_plan_sharded(mat: RowShardedMatrix, *, feat_dim: int,
     CRW = rnd(int(span_f.max()), 128)
     CRW_t = rnd(int(span_t.max()), 128)
 
-    wptr_t = jnp.concatenate([rp_t[:, :, 0], rp_t[:, -1:, -1]], axis=1)
-    relay_ft, dv_map = jax.vmap(
-        functools.partial(_relays, W_t=W_t, ECW_t=ECW_t))(
-        order_f, perm_t, wptr_t)
+    # SDDMM (d_value) pass geometry — shard-uniform, as above
+    from ..ops.spmm_seg2 import FAST_SRC_BYTES
+    fast_rows = max(128, FAST_SRC_BYTES // max(1, feat_dim
+                                               * stream_bytes))
+    W_s = W
+    while True:
+        ECW_s = rnd(cdiv(W * ECW, W_s), E)
+        rlo_s, span_s = jax.vmap(
+            functools.partial(_spans, W=W_s, ECW=ECW_s, M=M_local))(rp_f)
+        if int(span_s.max()) <= fast_rows or ECW_s <= 65536 \
+                or W_s >= 4096:
+            break
+        W_s *= 2
+    CRW_s = rnd(int(span_s.max()), 128)
+
+    relay_ft = jax.vmap(_relays)(order_f, perm_t)
+    row_f = jnp.take_along_axis(rows, order_f, axis=1)
 
     plan = Seg2Plan(M_local, N, S, SR, W, ECW, CRW, S_t, SR_t, W_t,
                     ECW_t, CRW_t, chunk=E,
                     interpret=_interpret_mode(),
-                    stream=stream)
+                    stream=stream, W_s=W_s, ECW_s=ECW_s, CRW_s=CRW_s)
     structure = Seg2Structure(
         col_f=col_f, rp_f=rp_f, perm_f=order_f, sbase_f=sbase_f,
         rlo_f=rlo_f, col_t=col_t, rp_t=rp_t, sbase_t=sbase_t,
-        rlo_t=rlo_t, xrow_t=xrow_t, relay_ft=relay_ft, dv_map=dv_map)
+        rlo_t=rlo_t, relay_ft=relay_ft, row_f=row_f, rlo_s=rlo_s)
     return ShardedSeg2(plan=plan, structure=structure)
 
 
