@@ -73,14 +73,19 @@ HBM_GBPS = {
 # (backend, scale ladder small->large, budget share of the SpMM slice).
 # seg2 (segment-gathered SpMM, round 4) is the flagship: it exploits the
 # measured fast-gather mode (<=64MB sources ~2x the row rate) and runs
-# fwd+bwd at full scale.  pallas (round-3 chunked) is kept as a
-# comparison point at 1/8.  sell is NOT probed by default (measured r3:
-# slower everywhere); xla is last: its segment-sum compile alone exceeds
-# most slices on this toolchain.
+# fwd+bwd at full scale.  pallas (round-3 chunked, measured 0.087 at 1/8
+# in BENCH_r03/r04) is opt-in via BENCH_PALLAS=1 since round 5 — its
+# slice goes to the clustered-graph probe.  sell is NOT probed by
+# default (measured r3: slower everywhere); xla is last: its segment-sum
+# compile alone exceeds most slices on this toolchain.
 PROBE_PLAN = (
-    ("seg2_bf16", (0.125, 1.0), 0.75),
-    ("pallas_bf16", (0.125,), 0.25),
+    ("seg2_bf16", (0.125, 1.0), 1.0),
 )
+if os.environ.get("BENCH_PALLAS", "0") == "1":
+    PROBE_PLAN = (
+        ("seg2_bf16", (0.125, 1.0), 0.75),
+        ("pallas_bf16", (0.125,), 0.25),
+    )
 # the XLA oracle runs LAST with whatever budget remains: its segment-sum
 # compile alone takes ~6 min on this toolchain and cannot be interrupted
 # gracefully, so nothing may be scheduled after it.  OFF by default since
@@ -169,6 +174,98 @@ def zipf_graph(num_nodes: int, nnz: int, dim: int, key, alpha=1.5):
     return row, col, value, x, nnz, rowptr_np.astype(np.int32)
 
 
+def clustered_graph(num_nodes: int, nnz: int, dim: int, key,
+                    community: int = 2048, p_in: float = 0.8):
+    """Community-structured (SBM-ish) synthetic at target scale
+    (VERDICT r4 item 2): each node draws ``p_in`` of its ~deg edges
+    inside its own ``community``-node block and the rest uniformly.
+    ogbn-products is a co-purchase graph with heavy community structure;
+    the uniform generator forecloses every locality lever by
+    construction (BASELINE.md r4: per-window column dedup cannot help on
+    uniform columns).
+
+    Nodes are generated in community-sorted order — the state the repo's
+    own reordering tools (``partition_clusters`` / RCM) recover from a
+    scrambled labeling; the partition probe measures that tool's
+    edge-cut quality separately, so full scale needs no host-side
+    reorder here."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    deg = max(1, nnz // num_nodes)
+    nnz = deg * num_nodes
+
+    @functools.partial(jax.jit, static_argnames=("n", "e", "d", "c"))
+    def gen(key, n, e, d, c):
+        row = (jnp.arange(e, dtype=jnp.int32) // (e // n)).astype(
+            jnp.int32)
+        cu = row // c
+        kb, ki, ko, kv, kx = jax.random.split(key, 5)
+        v_in = jnp.minimum(cu * c + jax.random.randint(
+            ki, (e,), 0, c, dtype=jnp.int32), n - 1)
+        v_out = jax.random.randint(ko, (e,), 0, n, dtype=jnp.int32)
+        mask = jax.random.uniform(kb, (e,)) < p_in
+        col = jnp.where(mask, v_in, v_out)
+        value = jax.random.uniform(kv, (e,), jnp.float32)
+        x = jax.random.normal(kx, (n, d), jnp.float32)
+        return row, col, value, x
+
+    row, col, value, x = gen(key, num_nodes, nnz, dim, community)
+    return row, col, value, x, nnz
+
+
+def window_dedup_stats(plan, structure):
+    """Measured per-sub-window unique-column footprint of a seg2 plan
+    (VERDICT r4 item 2): dedup_factor = window edges / unique columns;
+    footprint_mb = unique columns x K x stream bytes.  On a clustered
+    reordered graph the footprint shrinks far below the 64 MB
+    fast-window gate — the headroom a VMEM-resident expansion kernel
+    can exploit; on uniform-random columns dedup ~= 1."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    S, W, ECW, SR = plan.S, plan.W, plan.ECW, plan.SR
+    M = plan.num_rows
+
+    @functools.partial(jax.jit, static_argnames=())
+    def stats(col_f, rp):
+        colp = jnp.concatenate([col_f, jnp.zeros((ECW,), jnp.int32)])
+        arange_w = jnp.arange(ECW, dtype=jnp.int32)
+
+        def body(k, carry):
+            tot_u, max_u, tot_e = carry
+            s = k // W
+            w = k % W
+            e0 = rp[s, 0] + w * ECW
+            cnt = jnp.clip(rp[s, M] - e0, 0, ECW)
+            cols = jax.lax.dynamic_slice(colp, (e0,), (ECW,))
+            cols = jnp.where(arange_w < cnt, cols, SR)
+            present = jnp.zeros((SR + 1,), jnp.int32).at[cols].set(
+                1, mode="drop")
+            u = present[:SR].sum()
+            return tot_u + u, jnp.maximum(max_u, u), tot_e + cnt
+        return jax.lax.fori_loop(
+            0, S * W, body,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+
+    tot_u, max_u, tot_e = stats(structure.col_f, structure.rp_f)
+    tot_u, max_u, tot_e = int(tot_u), int(max_u), int(tot_e)
+    windows = S * W
+    stream_bytes = 2 if plan.stream == "bf16" else 4
+    # feat dim isn't on the plan; footprint reported per 256-dim bf16
+    return {
+        "windows": windows,
+        "mean_unique_cols": tot_u // max(1, windows),
+        "max_unique_cols": max_u,
+        "dedup_factor": round(tot_e / max(1, tot_u), 2),
+        "max_footprint_mb_k256": round(
+            max_u * 256 * stream_bytes / (1 << 20), 1),
+    }
+
+
 def _log(msg: str):
     """Phase telemetry to stderr: a killed probe's stderr tail shows the
     last phase reached (VERDICT r2 weak #3)."""
@@ -207,14 +304,26 @@ def measure(backend: str, scale: float, graph: str = "uniform",
 
     key = jax.random.PRNGKey(0)
     capacity_blowup = None
+    dedup = None
     if graph == "zipf":
         row, col, value, x, nnz, rowptr_np = zipf_graph(
             num_nodes, nnz, dim, key)
+    elif graph == "clustered":
+        row, col, value, x, nnz = clustered_graph(num_nodes, nnz, dim,
+                                                  key)
     else:
         row, col, value, x, nnz = synthetic_graph(num_nodes, nnz, dim, key)
     jax.block_until_ready((row, col, value, x))
     _log(f"{backend}@{scale} {graph}: data ready "
          f"(nodes={num_nodes} nnz={nnz} K={dim})")
+    local_frac = None
+    if graph == "clustered":
+        # fraction of edges inside their community block — the mass a
+        # split local/residual kernel can serve from a VMEM-resident
+        # fine slice (the 20% uniform tail dominates per-window UNIQUE
+        # column counts, so dedup_factor alone under-reports this)
+        local_frac = round(float(jnp.mean(
+            (col // 2048 == row // 2048).astype(jnp.float32))), 3)
 
     if backend.endswith("_bf16"):
         # bf16 product stream + bf16 gather reads, f32 accumulation
@@ -264,6 +373,9 @@ def measure(backend: str, scale: float, graph: str = "uniform",
              f"CRW={plan.CRW} chunk={plan.chunk}")
         if graph == "zipf":
             capacity_blowup = round(plan.S * plan.W * plan.ECW / nnz, 2)
+        if graph == "clustered":
+            dedup = window_dedup_stats(plan, structure)
+            _log(f"clustered dedup: {dedup}")
         packed = pack_values(structure, value)
         jax.block_until_ready((structure, packed))
         # free arrays the timed loop never touches (full scale is HBM
@@ -411,6 +523,10 @@ def measure(backend: str, scale: float, graph: str = "uniform",
            "scale": scale, "graph": graph, "stream": stream}
     if capacity_blowup is not None:
         out["capacity_blowup"] = capacity_blowup
+    if dedup is not None:
+        out["dedup"] = dedup
+    if local_frac is not None:
+        out["local_frac"] = local_frac
     return out
 
 
@@ -677,7 +793,7 @@ def main():
                                  deadline_s=float(dl) if dl else None)))
         return
 
-    budget = float(os.environ.get("BENCH_BUDGET_S", 1200))
+    budget = float(os.environ.get("BENCH_BUDGET_S", 1800))
     t_start = time.monotonic()
     deadline = t_start + budget
 
@@ -716,7 +832,8 @@ def main():
     want_oracle = not forced and os.environ.get("BENCH_XLA", "0") == "1"
     spmm_budget = deadline - time.monotonic() - (
         330 if os.environ.get("BENCH_POWERLAW", "1") != "0" else 10) - (
-        140 if os.environ.get("BENCH_DIM64", "1") != "0" else 0) - (
+        300 if os.environ.get("BENCH_CLUSTERED", "1") != "0" else 0) - (
+        160 if os.environ.get("BENCH_DIM64", "1") != "0" else 0) - (
         280 if want_oracle else 0) - 40
     spmm_budget = max(spmm_budget, 120.0)
 
@@ -775,6 +892,36 @@ def main():
                      "capacity_blowup": r.get("capacity_blowup")}
                     if r is not None else {"error": err})
 
+    # --- clustered (community-structured) probe at FULL scale (VERDICT
+    # r4 item 2: the realistic-locality headline + measured dedup) ---
+    clustered = None
+    if os.environ.get("BENCH_CLUSTERED", "1") != "0" and results and \
+            deadline - time.monotonic() > 150:
+        best_backend = max(
+            results, key=lambda b: max(frac_of(r) for r in results[b]))
+        cl_scale = float(os.environ.get("BENCH_CLUSTERED_SCALE", "1.0"))
+        r, err = run_probe(best_backend, cl_scale,
+                           min(450.0, max(120.0,
+                                          deadline - time.monotonic()
+                                          - 200)),
+                           graph="clustered")
+        if r is None and cl_scale > 0.125:
+            cl_scale = 0.125
+            r, err = run_probe(best_backend, cl_scale,
+                               max(60.0, min(200.0,
+                                             deadline - time.monotonic()
+                                             - 150)),
+                               graph="clustered")
+        clustered = ({"backend": best_backend, "scale": cl_scale,
+                      "nnz": r["nnz"],
+                      "fwd_ms": round(r["fwd_s"] * 1e3, 2),
+                      "fwd_bwd_ms": (round(r["fwdbwd_s"] * 1e3, 2)
+                                     if r.get("fwdbwd_s") else None),
+                      "frac": round(frac_of(r), 4),
+                      "dedup": r.get("dedup"),
+                      "local_frac": r.get("local_frac")}
+                     if r is not None else {"error": err})
+
     # --- K=64 regime (BASELINE.md row 2 names dense dim 64 and 256) ---
     dim64 = None
     if os.environ.get("BENCH_DIM64", "1") != "0" and results and \
@@ -783,7 +930,7 @@ def main():
             results, key=lambda b: max(frac_of(r) for r in results[b]))
         r, err = run_probe(
             best_backend, 0.125,
-            min(200.0, deadline - time.monotonic()
+            min(280.0, deadline - time.monotonic()
                 - (300 if want_oracle else 5)),
             extra_env={"BENCH_DIM": "64"})
         dim64 = ({"backend": best_backend,
@@ -888,6 +1035,7 @@ def main():
                           "bwd": r.get("fwdbwd_compile_s")},
             "probes": probe_log,
             "powerlaw": powerlaw,
+            "clustered": clustered,
             "dim64": dim64,
             "scaling": scaling,
             "spgemm": spgemm,
@@ -900,8 +1048,8 @@ def main():
 # compact tail line; everything else lives in bench_out.json
 _COMPACT_KEYS = ("device", "backend", "stream", "scale", "nnz", "dim",
                  "fwd_ms", "fwd_bwd_ms", "fwd_bwd_ratio", "fwd_gbps",
-                 "gather_Mrows_s", "best_regime", "powerlaw", "dim64",
-                 "error")
+                 "gather_Mrows_s", "best_regime", "powerlaw",
+                 "clustered", "dim64", "error")
 
 
 def emit_record(record: dict):

@@ -196,3 +196,71 @@ def spmm_seg2_allgather(mesh: Mesh, sharded: ShardedSeg2,
                    in_specs=(spec_struct, spec_blk),
                    out_specs=spec3, check_vma=False)
     return fn(sharded.structure, x)
+
+
+# ---------------------------------------------------------------------------
+# seg2 x halo interchange (round 5, VERDICT r4 item 5): the fast Pallas
+# flagship under the DEDUPLICATED all_to_all halo exchange — the
+# interchange the repo's own at-target scaling model rates far above
+# all-gather at pod scale (BENCH_r04: D=256 efficiency_at_target 0.36
+# vs 0.071).  The halo plan's remapped (local row, halo-buffer col)
+# grid is exactly a RowShardedMatrix over an N = D*H column space, so
+# the per-shard seg2 planner applies unchanged.
+# ---------------------------------------------------------------------------
+def make_seg2_halo_plan(halo_mat, *, feat_dim: int, stream=None,
+                        chunk_edges: int = 512, sr=None,
+                        window_bytes: int = None) -> ShardedSeg2:
+    """Per-shard seg2 plans over a :class:`~.spmm.HaloShardedMatrix`'s
+    halo-buffer column space (N = D * halo_per_src)."""
+    D = int(halo_mat.row.shape[0])
+    facade = RowShardedMatrix(
+        row=halo_mat.row, col=halo_mat.col, value=halo_mat.value,
+        nnz=None, shape=(halo_mat.shape[0], D * halo_mat.halo_per_src),
+        rows_per_shard=halo_mat.rows_per_shard)
+    return make_seg2_plan_sharded(facade, feat_dim=feat_dim,
+                                  stream=stream, chunk_edges=chunk_edges,
+                                  sr=sr, window_bytes=window_bytes)
+
+
+def spmm_seg2_halo(mesh: Mesh, halo_mat, sharded: ShardedSeg2,
+                   packed_value, x: jax.Array,
+                   axis_name: str = "x") -> jax.Array:
+    """Distributed SpMM: all_to_all of exactly the deduplicated halo
+    rows (O(unique cols * K) interchange), then the exact single-chip
+    seg2 Pallas path per shard over the received halo buffer.
+
+    ``x`` is row-sharded (N/D, K); returns row-sharded output blocks
+    (D, rows_per_shard, K).  Differentiable in ``(packed_value, x)``
+    (all_to_all and take have transposes)."""
+    plan = sharded.plan
+    rows_per = plan.num_rows - 1
+
+    spec_struct = jax.tree_util.tree_map(
+        lambda a: P(axis_name, *([None] * (a.ndim - 1))),
+        sharded.structure)
+    spec_blk = P(axis_name, None)
+    spec3 = P(axis_name, None, None)
+
+    def kernel(struct, send_idx, pv, x_local):
+        local = jax.tree_util.tree_map(lambda a: a[0], struct)
+        x_send = jnp.take(x_local, send_idx[0], axis=0, mode="clip")
+        halo = jax.lax.all_to_all(x_send, axis_name, split_axis=0,
+                                  concat_axis=0, tiled=False)
+        halo = halo.reshape(-1, x_local.shape[-1])        # (D*H, K)
+        out = spmm_seg2(plan, local, pv[0] if pv is not None else None,
+                        halo)
+        return out[None, :rows_per]
+
+    if packed_value is not None:
+        fn = shard_map(kernel, mesh=mesh,
+                       in_specs=(spec_struct, spec3, spec_blk, spec_blk),
+                       out_specs=spec3, check_vma=False)
+        return fn(sharded.structure, halo_mat.send_idx, packed_value, x)
+
+    def kernel_nv(struct, send_idx, x_local):
+        return kernel(struct, send_idx, None, x_local)
+
+    fn = shard_map(kernel_nv, mesh=mesh,
+                   in_specs=(spec_struct, spec3, spec_blk),
+                   out_specs=spec3, check_vma=False)
+    return fn(sharded.structure, halo_mat.send_idx, x)

@@ -299,3 +299,72 @@ def test_spmm_seg2_sharded_flagship():
         want_dpv[d] = np.where(valid, (gr * xc).sum(axis=1), 0.0)
     np.testing.assert_allclose(np.asarray(d_pv), want_dpv, rtol=1e-3,
                                atol=1e-3)
+
+
+def test_spmm_seg2_halo():
+    """seg2 x halo interchange (VERDICT r4 item 5): the planned Pallas
+    flagship under the deduplicated all_to_all halo exchange — forward
+    and both gradients match the dense oracle."""
+    if len(jax.devices()) < D:
+        pytest.skip(f"needs {D} virtual devices")
+    from paddle_sparse_tpu.parallel.spmm import shard_halo
+    from paddle_sparse_tpu.parallel.spmm_seg2 import (
+        device_put_sharded_seg2, make_seg2_halo_plan,
+        pack_values_sharded, spmm_seg2_halo)
+
+    rng = np.random.default_rng(13)
+    M = N = 128
+    K, nnz = 64, 700
+    row = np.sort(rng.integers(0, M, nnz))
+    col = rng.integers(0, N, nnz)
+    order = np.lexsort((col, row))
+    val = rng.standard_normal(nnz).astype(np.float32)
+    adj = SparseTensor(row=jnp.asarray(row[order]),
+                       col=jnp.asarray(col[order]),
+                       value=jnp.asarray(val[order]),
+                       sparse_sizes=(M, N)).coalesce()
+    dense = np.asarray(adj.to_dense())
+    X = rng.standard_normal((N, K)).astype(np.float32)
+
+    mesh = make_mesh(D)
+    halo = shard_halo(adj, D)
+    sh = make_seg2_halo_plan(halo, feat_dim=K, sr=32, chunk_edges=256)
+    assert sh.plan.num_cols == D * halo.halo_per_src
+    sh = device_put_sharded_seg2(mesh, sh)
+    packed = pack_values_sharded(sh, halo.value)
+    x_arr = jax.device_put(jnp.asarray(X),
+                           NamedSharding(mesh, P("x", None)))
+
+    out = spmm_seg2_halo(mesh, halo, sh, packed, x_arr)
+    got = np.asarray(out).reshape(M, K)
+    np.testing.assert_allclose(got, dense @ X, rtol=1e-4, atol=1e-4)
+
+    def loss(pv, x):
+        o = spmm_seg2_halo(mesh, halo, sh, pv, x)
+        return (o.reshape(M, K) ** 2).sum()
+
+    d_pv, d_x = jax.grad(loss, argnums=(0, 1))(packed, x_arr)
+    g = 2.0 * (dense @ X)
+    np.testing.assert_allclose(np.asarray(d_x), dense.T @ g, rtol=1e-3,
+                               atol=1e-3)
+    # d_value through halo-buffer col remapping + per-shard packing
+    rows_l = np.asarray(halo.row)
+    hcols_l = np.asarray(halo.col)
+    send = np.asarray(halo.send_idx)
+    H = halo.halo_per_src
+    perm = np.asarray(sh.structure.perm_f)
+    rows_per = halo.rows_per_shard
+    blk = N // D
+    want_dpv = np.zeros_like(np.asarray(packed))
+    for d in range(D):
+        pr = rows_l[d][perm[d]]
+        ph = hcols_l[d][perm[d]]
+        src = ph // H
+        # halo slot -> global x row: send_idx[src, d, pos] + src*blk
+        gcol = send[src, d, ph - src * H] + src * blk
+        valid = pr < rows_per
+        gr = g[np.clip(pr + d * rows_per, 0, M - 1)]
+        xc = X[gcol]
+        want_dpv[d] = np.where(valid, (gr * xc).sum(axis=1), 0.0)
+    np.testing.assert_allclose(np.asarray(d_pv), want_dpv, rtol=1e-3,
+                               atol=1e-3)
