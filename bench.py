@@ -372,7 +372,8 @@ def measure(backend: str, scale: float, graph: str = "uniform",
         _log(f"seg2 plan: S={plan.S} W={plan.W} ECW={plan.ECW} "
              f"CRW={plan.CRW} chunk={plan.chunk}")
         if graph == "zipf":
-            capacity_blowup = round(plan.S * plan.W * plan.ECW / nnz, 2)
+            # W is the TOTAL flattened window count (round 5)
+            capacity_blowup = round(plan.W * plan.ECW / nnz, 2)
         if graph == "clustered":
             dedup = window_dedup_stats(plan, structure)
             _log(f"clustered dedup: {dedup}")

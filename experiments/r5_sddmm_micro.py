@@ -16,7 +16,7 @@ import jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 
 from paddle_sparse_tpu.ops.spmm_seg2 import (  # noqa: E402
-    _spans, make_seg2_plan, pack_values)
+    make_seg2_plan, pack_values)
 
 SCALE = float(sys.argv[1]) if len(sys.argv) > 1 else 0.125
 NODES = max(1024, int(2_449_029 * SCALE))
@@ -68,14 +68,9 @@ def main():
     g = x + 1.0
     row_f = jnp.take(row, s.perm_f)
     E = plan.chunk
-    W_s = plan.W
-    while True:
-        ECW_s = max(E, -(-plan.ECW * plan.W // W_s // E) * E)
-        rlo_s, span = _spans(s.rp_f, W=W_s, ECW=ECW_s, M=NODES)
-        if int(span) <= FAST_ROWS or W_s >= 4096:
-            break
-        W_s *= 2
-    CRW_s = -(-int(span) // 128) * 128
+    # geometry now comes from the planner itself (round-5 flattened
+    # windows landed in ops/spmm_seg2)
+    W_s, ECW_s, CRW_s, rlo_s = plan.W_s, plan.ECW_s, plan.CRW_s, s.rlo_s
     jax.block_until_ready((row_f, rlo_s, packed))
     log(f"S={plan.S} W_s={W_s} ECW_s={ECW_s} CRW_s={CRW_s} nnz={nnz}")
     M = NODES

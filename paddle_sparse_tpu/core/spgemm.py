@@ -323,3 +323,177 @@ def spspmm_rowsorted(A: PaddedCOO, B: PaddedCOO, row_flop_capacity: int,
     C = PaddedCOO(row=rowC, col=colC, value=valC, nnz=new_nnz,
                   shape=(M, N))
     return SpGEMMResult(matrix=C, overflowed=overflowed)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def spspmm_rowblocked(A: PaddedCOO, B: PaddedCOO, row_flop_capacity: int,
+                      out_capacity: int, block_rows: int,
+                      block_edges: int, block_out: int) -> SpGEMMResult:
+    """C = A @ B via the batched-row-sort ESC, streamed over ROW BLOCKS
+    (round 5): the (M, F) grid of :func:`spspmm_rowsorted` is O(M * F)
+    HBM — ~2 GB per array at a 10M-nnz A — so this variant materializes
+    only one (block_rows, F) grid at a time and appends each block's
+    compressed output at a carried offset.  Same formulation per block;
+    blocks are row-disjoint so their outputs concatenate in row order.
+
+    Static caps (from ``ops.spspmm.plan_spgemm_blocked``):
+    ``block_edges`` bounds any block's A-edge count, ``block_out`` any
+    block's output nnz.  Overflow of any cap is reported, not raised.
+
+    Upstream intent: hash-based spspmm
+    (/root/reference/csrc/cpu/utils.h:4); functional contract
+    /root/reference/README.md:301-327.
+    """
+    M, K = A.shape
+    K2, N = B.shape
+    assert K == K2, f"size mismatch {A.shape} @ {B.shape}"
+    idx = A.row.dtype
+    F = row_flop_capacity
+    MB, EB, BOC = block_rows, block_edges, block_out
+    NB = -(-M // MB)
+
+    rowptrB = B.rowptr()
+    validA = A.valid_mask()
+    colA = jnp.where(validA, A.col, 0)
+    rowA = jnp.where(validA, A.row, M)
+    degB = jnp.where(validA, rowptrB[colA + 1] - rowptrB[colA], 0)
+    ptrE = jnp.concatenate([jnp.zeros((1,), degB.dtype),
+                            jnp.cumsum(degB)])
+    total_flops = ptrE[-1]
+    row_flops = jax.ops.segment_sum(degB, rowA, num_segments=M + 1,
+                                    indices_are_sorted=True)[:M]
+    rowE = jnp.concatenate([jnp.zeros((1,), degB.dtype),
+                            jnp.cumsum(row_flops)])
+    eptrA = A.rowptr().astype(jnp.int32)
+    b_off = (rowptrB[colA] - ptrE[:-1]).astype(jnp.int32)
+    # per-edge local flop offset within its row (global precompute)
+    le_g = ptrE[:-1] - rowE[jnp.minimum(rowA, M)]
+    le_g = jnp.where((degB > 0) & (le_g < F), le_g,
+                     F).astype(jnp.int32)
+
+    has_val = A.value is not None or B.value is not None
+    valA = (A.value if A.value is not None
+            else jnp.where(validA, 1.0, 0.0)) if has_val else None
+    valB = (B.value if B.value is not None
+            else jnp.where(B.valid_mask(), 1.0, 0.0)) if has_val else None
+
+    # padded per-edge streams so any (estart, EB) slice is legal
+    def padE(a, fill):
+        return jnp.concatenate(
+            [a, jnp.full((EB,), fill, a.dtype)])
+
+    rowA_p, le_p = padE(rowA, M), padE(le_g, F)
+    boff_p = padE(b_off, 0)
+    valA_p = padE(valA, 0.0) if has_val else None
+    colA_p = padE(colA, 0)
+    rf_pad = jnp.concatenate([row_flops,
+                              jnp.zeros((MB,), row_flops.dtype)])
+    rowE_pad = jnp.concatenate([rowE[:-1],
+                                jnp.full((MB,), rowE[-1], rowE.dtype)])
+    f_off = jnp.arange(F, dtype=ptrE.dtype)[None, :]
+    local_ids = jnp.arange(EB, dtype=jnp.int32)
+    arange_boc = jnp.arange(BOC)
+    out_row0 = jnp.full((out_capacity + BOC,), M, idx)
+    out_col0 = jnp.full((out_capacity + BOC,), N, idx)
+    out_val0 = (jnp.zeros((out_capacity + BOC,),
+                          jnp.promote_types(valA.dtype, valB.dtype))
+                if has_val else None)
+
+    def body(i, carry):
+        rowC, colC, valC, noff, oflow = carry
+        r0 = i * MB
+        estart = eptrA[jnp.minimum(r0, M)]
+        ecnt = eptrA[jnp.minimum(r0 + MB, M)] - estart
+        rf_b = jax.lax.dynamic_slice(rf_pad, (r0,), (MB,))
+        rowE_b = jax.lax.dynamic_slice(rowE_pad, (r0,), (MB,))
+        rows_b = jnp.clip(
+            jax.lax.dynamic_slice(rowA_p, (estart,), (EB,)) - r0,
+            0, MB - 1)
+        le_b = jnp.where(
+            local_ids < ecnt,
+            jax.lax.dynamic_slice(le_p, (estart,), (EB,)), F)
+        a0 = jnp.zeros((MB, F), jnp.int32).at[rows_b, le_b].max(
+            local_ids, mode="drop")
+        a_loc = jnp.clip(jax.lax.cummax(a0, axis=1), 0, EB - 1)
+        a_idg = (a_loc + estart).reshape(-1)
+        gfi = rowE_b[:, None] + f_off
+        gfi_c = jnp.minimum(gfi, jnp.maximum(total_flops - 1, 0))
+        valid = f_off < rf_b[:, None]
+
+        if has_val and valA.dtype == jnp.float32:
+            boff_g, va_g = _paired_gather(boff_p, valA_p, a_idg)
+            b_pos = jnp.clip(boff_g.reshape(MB, F) + gfi_c, 0,
+                             B.capacity - 1)
+            colb_g, vb_g = _paired_gather(B.col, valB,
+                                          b_pos.reshape(-1))
+            key = jnp.where(valid, colb_g.reshape(MB, F),
+                            N).astype(jnp.int32)
+            prod = jnp.where(valid, (va_g * vb_g).reshape(MB, F), 0.0)
+        else:
+            b_pos = jnp.clip(
+                jnp.take(boff_p, a_idg, mode="clip").reshape(MB, F)
+                + gfi_c, 0, B.capacity - 1)
+            key = jnp.where(valid, B.col[b_pos.reshape(-1)].reshape(
+                MB, F), N).astype(jnp.int32)
+            prod = (jnp.where(
+                valid,
+                (jnp.take(valA_p, a_idg).reshape(MB, F)
+                 * valB[b_pos.reshape(-1)].reshape(MB, F)), 0)
+                if has_val else None)
+
+        if prod is not None:
+            key, prod = jax.lax.sort((key, prod), dimension=1,
+                                     num_keys=1)
+            prod_f = prod.reshape(-1)
+        else:
+            key = jnp.sort(key, axis=1)
+            prod_f = None
+
+        first2d = (key < N) & jnp.concatenate(
+            [jnp.ones((MB, 1), bool), key[:, 1:] != key[:, :-1]],
+            axis=1)
+        first = first2d.reshape(-1)
+        out_col_f = key.reshape(-1)
+        out_row_f = r0 + jnp.repeat(jnp.arange(MB, dtype=idx), F,
+                                    total_repeat_length=MB * F)
+        seg = jnp.cumsum(first) - 1
+        uniq = jnp.sum(first)
+        valid_f = out_col_f < N
+        seg_cl = jnp.clip(seg, 0, BOC)
+        row_b = jax.ops.segment_max(
+            jnp.where(valid_f, out_row_f, 0), seg_cl,
+            num_segments=BOC + 1,
+            indices_are_sorted=True)[:BOC].astype(idx)
+        col_b = jax.ops.segment_max(
+            jnp.where(valid_f, out_col_f, 0), seg_cl,
+            num_segments=BOC + 1,
+            indices_are_sorted=True)[:BOC].astype(idx)
+        nb = jnp.minimum(uniq, BOC).astype(jnp.int32)
+        row_b = jnp.where(arange_boc < nb, row_b, M)
+        col_b = jnp.where(arange_boc < nb, col_b, N)
+        rowC = jax.lax.dynamic_update_slice(rowC, row_b, (noff,))
+        colC = jax.lax.dynamic_update_slice(colC, col_b, (noff,))
+        if prod_f is not None:
+            val_b = jax.ops.segment_sum(
+                prod_f, seg_cl, num_segments=BOC + 1,
+                indices_are_sorted=True)[:BOC]
+            val_b = jnp.where(arange_boc < nb, val_b, 0)
+            valC = jax.lax.dynamic_update_slice(valC, val_b, (noff,))
+        oflow = oflow | (uniq > BOC) | (ecnt > EB) | (rf_b > F).any()
+        noff = jnp.minimum(noff + nb,
+                           jnp.int32(out_capacity)).astype(jnp.int32)
+        return rowC, colC, valC, noff, oflow
+
+    rowC, colC, valC, noff, oflow = jax.lax.fori_loop(
+        0, NB, body,
+        (out_row0, out_col0, out_val0, jnp.int32(0), jnp.bool_(False)))
+    rowC, colC = rowC[:out_capacity], colC[:out_capacity]
+    valC = valC[:out_capacity] if valC is not None else None
+    ar = jnp.arange(out_capacity)
+    rowC = jnp.where(ar < noff, rowC, M)
+    colC = jnp.where(ar < noff, colC, N)
+    if valC is not None:
+        valC = jnp.where(ar < noff, valC, 0)
+    C = PaddedCOO(row=rowC, col=colC, value=valC,
+                  nnz=noff.astype(jnp.int32), shape=(M, N))
+    return SpGEMMResult(matrix=C, overflowed=oflow)

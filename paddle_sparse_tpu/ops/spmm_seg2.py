@@ -68,28 +68,35 @@ WINDOW_BYTES = 384 << 20
 
 
 class Seg2Plan(NamedTuple):
-    """Static (hashable) geometry for :func:`spmm_seg2`."""
+    """Static (hashable) geometry for :func:`spmm_seg2`.
+
+    Round-5: window counts are TOTALS over a FLATTENED edge-balanced
+    window list (each segment contributes ceil(seg_edges / ECW)
+    windows), not a per-segment-uniform grid — a per-segment-uniform
+    (S, W) grid pads every segment to the largest one, which inflated
+    the power-law transpose stream ~12x at full scale (the hot row
+    holds most edges in ONE t-segment) and cost the zipf backward
+    ~8 s of gathers on padding."""
     num_rows: int
     num_cols: int
     S: int             # source segments (forward)
     SR: int            # rows per source segment (power of two)
-    W: int             # sub-windows per segment
+    W: int             # TOTAL fwd sub-windows (flattened, edge-balanced)
     ECW: int           # edge capacity per sub-window (chunk-padded)
     CRW: int           # max row span per sub-window (tile-padded)
     S_t: int           # transpose-side geometry (source = g)
     SR_t: int
-    W_t: int
+    W_t: int           # TOTAL transpose sub-windows
     ECW_t: int
     CRW_t: int
     chunk: int = 512   # kernel edge-chunk size E
     interpret: bool = False
     stream: str = "f32"
-    # SDDMM (d_value) pass geometry: same fwd segments, but sub-windows
-    # shrunk until the row span fits the fast-gather gate as a g-source
-    # slice (round 5)
-    W_s: int = 1       # sddmm sub-windows per fwd segment
+    # SDDMM (d_value) pass geometry: same fwd segments, finer windows
+    # so the row span fits the fast-gather gate as a g-source slice
+    W_s: int = 1       # TOTAL sddmm sub-windows
     ECW_s: int = 0     # edge capacity per sddmm sub-window
-    CRW_s: int = 128   # g-source slice height (tile-padded row span)
+    CRW_s: int = 128   # g-source slice height (0 = global-gather mode)
 
 
 class Seg2Structure(NamedTuple):
@@ -107,11 +114,19 @@ class Seg2Structure(NamedTuple):
     col_t: jax.Array       # (nnz,) slice-local g-rows, transpose layout
     rp_t: jax.Array        # (S_t, N+1) absolute out-row pointers
     sbase_t: jax.Array     # (S_t,)
-    rlo_t: jax.Array       # (S_t*W_t,)
+    rlo_t: jax.Array       # (W_t,)
     relay_ft: jax.Array    # (nnz,) t position -> fwd position (values)
     row_f: jax.Array       # (nnz,) GLOBAL rows, fwd layout (sddmm pass)
-    rlo_s: jax.Array       # (S*W_s,) tile-aligned first row per sddmm
+    rlo_s: jax.Array       # (W_s,) tile-aligned first row per sddmm
                            # sub-window
+    # flattened-window maps (round 5): segment of window k and the
+    # cumulative window count per segment (wptr[s] = first window of s)
+    seg_of_f: jax.Array    # (W,)
+    wptr_f: jax.Array      # (S+1,)
+    seg_of_t: jax.Array    # (W_t,)
+    wptr_t: jax.Array      # (S_t+1,)
+    seg_of_s: jax.Array    # (W_s,)
+    wptr_s: jax.Array      # (S+1,)
 
 
 def _interpret_mode() -> bool:
@@ -215,32 +230,57 @@ def _build_t(row, col, *, S_t, SR_t, M, N):
     return perm_t, col_t, rp_t, sbase, xrow_t, max_t
 
 
-@functools.partial(jax.jit, static_argnames=("W", "ECW", "M"))
-def _spans(rp, *, W, ECW, M):
-    """Phase 3: sub-window w of segment s covers edges
-    [rp[s,0] + w*ECW, +ECW); rows are sorted within the segment so the
-    touched rows are one contiguous range."""
-    base = rp[:, :1] + jnp.arange(W, dtype=jnp.int32)[None, :] * ECW
+@functools.partial(jax.jit, static_argnames=("ECW",))
+def _window_counts(rp, *, ECW):
+    """Edge-balanced window count per segment: ceil(seg_edges / ECW)."""
+    seg_len = rp[:, -1] - rp[:, 0]
+    return -(-seg_len // ECW)
 
-    def seg_spans(rps, bases):
-        r_lo = jnp.clip(
-            jnp.searchsorted(rps, bases, side="right") - 1, 0, M - 1)
-        # clamp the end query to the segment window's last edge: a
-        # sub-window straddling the window end must not claim the empty
-        # tail rows (un-clamped, r_hi saturates at M-1, and on skewed
-        # graphs — where small segments straddle in their FIRST
-        # sub-window — CRW inflates to the whole row space and the
-        # backward fails to compile at full zipf scale)
-        r_hi = jnp.clip(
-            jnp.searchsorted(rps, jnp.minimum(bases + ECW, rps[-1]),
-                             side="left") - 1,
-            0, M - 1)
-        return r_lo, jnp.maximum(r_hi, r_lo)
 
-    r_lo, r_hi = jax.vmap(seg_spans)(rp, base)
-    rlo = ((r_lo // 128) * 128).astype(jnp.int32).reshape(-1)
-    span = (r_hi.reshape(-1) - rlo + 1).max()
-    return rlo, span
+@functools.partial(jax.jit, static_argnames=("ECW", "NW", "M"))
+def _flat_geom(rp, w_counts, *, ECW, NW, M):
+    """Phase 3 (round 5): FLATTENED edge-balanced windows.  Window k of
+    segment s = seg_of[k] covers edges [rp[s,0] + (k - wptr[s]) * ECW,
+    +ECW) — every segment gets exactly the windows its edge count
+    needs, so total capacity is ~nnz + S*ECW for ANY degree skew (the
+    per-segment-uniform grid was O(S * max_seg) — 12x padding on
+    power-law transpose streams).  Rows sorted within a segment => each
+    window's touched rows are one contiguous range; returns their
+    tile-aligned starts and the max span."""
+    from .convert import _expand_ptr
+    S = rp.shape[0]
+    wptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(w_counts).astype(jnp.int32)])
+    seg_of = jnp.clip(_expand_ptr(wptr, NW), 0, S - 1).astype(jnp.int32)
+    ar = jnp.arange(NW, dtype=jnp.int32)
+    # windows past the true total (padded NW) alias segment S-1 with
+    # e0 past its end -> cnt 0 no-ops
+    e0 = jnp.take(rp[:, 0], seg_of) + (ar - jnp.take(wptr, seg_of)
+                                       ) * ECW
+
+    def seg_body(s, carry):
+        rlo, rhi = carry
+        rps = rp[s]
+        mask = seg_of == s
+        q = jnp.where(mask, e0, 0)
+        lo = jnp.clip(jnp.searchsorted(rps, q, side="right") - 1,
+                      0, M - 1)
+        # clamp the end query to the segment's last edge: a window
+        # straddling the segment end must not claim the empty tail rows
+        # (on skewed graphs that inflates the span to the whole row
+        # space and the kernel fails to compile)
+        hi = jnp.clip(
+            jnp.searchsorted(rps, jnp.minimum(q + ECW, rps[-1]),
+                             side="left") - 1, 0, M - 1)
+        hi = jnp.maximum(hi, lo)
+        return (jnp.where(mask, lo, rlo), jnp.where(mask, hi, rhi))
+
+    rlo, rhi = jax.lax.fori_loop(
+        0, S, seg_body, (jnp.zeros((NW,), jnp.int32),
+                         jnp.zeros((NW,), jnp.int32)))
+    rlo_t = ((rlo // 128) * 128).astype(jnp.int32)
+    span = (rhi - rlo_t + 1).max()
+    return seg_of, wptr, rlo_t, span
 
 
 @jax.jit
@@ -311,36 +351,48 @@ def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
         row, col, S_t=S_t, SR_t=SR_t, M=M, N=N)
 
     # ---- window geometry (host scalars -> static plan) -----------------
+    # flattened edge-balanced windows (round 5): window size = min of
+    # the product-stream budget and the largest segment; each segment
+    # gets ceil(seg_edges / ECW) windows
     E = chunk_edges
     win_edges = max(E, window_bytes // max(1, feat_dim * stream_bytes))
-    EC = rnd(int(max_f), E)
-    W = max(1, cdiv(EC, win_edges))
-    ECW = rnd(cdiv(EC, W), E)
-    EC_t = rnd(int(max_t), E)
-    W_t = max(1, cdiv(EC_t, win_edges))
-    ECW_t = rnd(cdiv(EC_t, W_t), E)
+    ECW = rnd(min(win_edges, max(int(max_f), 1)), E)
+    ECW_t = rnd(min(win_edges, max(int(max_t), 1)), E)
 
-    # ---- phase 3: per-sub-window row spans ----------------------------
-    rlo_f, span_f = _spans(rp_f, W=W, ECW=ECW, M=M)
-    rlo_t, span_t = _spans(rp_t, W=W_t, ECW=ECW_t, M=N)
+    # ---- phase 3: flattened windows + row spans ------------------------
+    wc_f = _window_counts(rp_f, ECW=ECW)
+    wc_t = _window_counts(rp_t, ECW=ECW_t)
+    W = max(1, int(wc_f.sum()))
+    W_t = max(1, int(wc_t.sum()))
+    seg_of_f, wptr_f, rlo_f, span_f = _flat_geom(rp_f, wc_f, ECW=ECW,
+                                                 NW=W, M=M)
+    seg_of_t, wptr_t, rlo_t, span_t = _flat_geom(rp_t, wc_t, ECW=ECW_t,
+                                                 NW=W_t, M=N)
     CRW = rnd(int(span_f), 128)
     CRW_t = rnd(int(span_t), 128)
 
     # ---- phase 3b: SDDMM (d_value) pass geometry ----------------------
     # shrink sub-windows until the row span fits the fast gate as a
-    # g-source slice; floor the window size so pathologically sparse
-    # segments don't explode the window count (the slice then simply
-    # runs below peak rate)
+    # g-source slice.  When no feasible span exists (power-law tails:
+    # rows with ~1 edge spread a 64k-edge window over millions of rows,
+    # and per-window slice COPIES of a near-full g would dominate),
+    # fall back to a GLOBAL g-gather (slow mode) via CRW_s = 0.
     fast_rows = max(128, (FAST_SRC_BYTES // max(1, feat_dim
                                                 * stream_bytes)))
-    W_s = W
+    ECW_s = ECW
     while True:
-        ECW_s = rnd(cdiv(W * ECW, W_s), E)
-        rlo_s, span_s = _spans(rp_f, W=W_s, ECW=ECW_s, M=M)
-        if int(span_s) <= fast_rows or ECW_s <= 65536 or W_s >= 4096:
+        wc_s = _window_counts(rp_f, ECW=ECW_s)
+        W_s = max(1, int(wc_s.sum()))
+        seg_of_s, wptr_s, rlo_s, span_s = _flat_geom(
+            rp_f, wc_s, ECW=ECW_s, NW=W_s, M=M)
+        if int(span_s) <= fast_rows or ECW_s <= 65536:
             break
-        W_s *= 2
-    CRW_s = rnd(int(span_s), 128)
+        ECW_s = rnd(cdiv(ECW_s, 2), E)
+    if int(span_s) <= 2 * fast_rows:
+        CRW_s = rnd(int(span_s), 128)
+    else:                                      # global-gather mode
+        W_s, ECW_s, CRW_s = W, ECW, 0
+        seg_of_s, wptr_s, rlo_s = seg_of_f, wptr_f, rlo_f
 
     # ---- phase 4: value relay -----------------------------------------
     relay_ft = _relays(order_f, perm_t)
@@ -353,7 +405,9 @@ def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
     structure = Seg2Structure(
         col_f=col_f, rp_f=rp_f, perm_f=order_f, sbase_f=sbase_f,
         rlo_f=rlo_f, col_t=col_t, rp_t=rp_t, sbase_t=sbase_t,
-        rlo_t=rlo_t, relay_ft=relay_ft, row_f=row_f, rlo_s=rlo_s)
+        rlo_t=rlo_t, relay_ft=relay_ft, row_f=row_f, rlo_s=rlo_s,
+        seg_of_f=seg_of_f, wptr_f=wptr_f, seg_of_t=seg_of_t,
+        wptr_t=wptr_t, seg_of_s=seg_of_s, wptr_s=wptr_s)
     return plan, structure
 
 
@@ -371,11 +425,13 @@ def unpack_values(s: Seg2Structure, packed: jax.Array) -> jax.Array:
     return jnp.zeros((nnz,), packed.dtype).at[s.perm_f].set(packed)
 
 
-def _seg_pass(cols, rp, sbase, rlo, vals, x, *, out_rows: int, S: int,
-              SR: int, W: int, ECW: int, CRW: int, E: int,
-              interpret: bool, pdt):
+def _seg_pass(cols, rp, sbase, rlo, seg_of, wptr, vals, x, *,
+              out_rows: int, S: int, SR: int, W: int, ECW: int,
+              CRW: int, E: int, interpret: bool, pdt):
     """Shared segment-outer pass: fast-mode gather + in-place accumulated
-    Pallas row reduction over S*W bounded sub-windows."""
+    Pallas row reduction over W flattened edge-balanced sub-windows
+    (window k belongs to segment seg_of[k] and covers edges
+    [rp[s,0] + (k - wptr[s]) * ECW, +ECW))."""
     import jax.experimental.pallas as pl
 
     from .kernels.spmm_pallas import (_reduce_call, _row_bounds,
@@ -406,9 +462,8 @@ def _seg_pass(cols, rp, sbase, rlo, vals, x, *, out_rows: int, S: int,
     arange_tp = jnp.arange(T + 1, dtype=jnp.int32) * R
 
     def body(k, out):
-        s = k // W
-        w = k % W
-        e0 = rp[s, 0] + w * ECW
+        s = seg_of[k]
+        e0 = rp[s, 0] + (k - wptr[s]) * ECW
         cnt_w = jnp.clip(rp[s, out_rows] - e0, 0, ECW)
         r0 = rlo[k]
         rp_l = jnp.clip(
@@ -430,13 +485,13 @@ def _seg_pass(cols, rp, sbase, rlo, vals, x, *, out_rows: int, S: int,
                             acc=out, tile_base=(r0 // R)[None])
 
     out0 = jnp.zeros((buf_tiles * R, K), jnp.float32)
-    out = jax.lax.fori_loop(0, S * W, body, out0)
+    out = jax.lax.fori_loop(0, W, body, out0)
     return out[:out_rows]
 
 
-def _sddmm_pass(col_f, row_f, rp, sbase, rlo_s, g, x, *, M: int,
-                S: int, SR: int, W_s: int, ECW_s: int, CRW_s: int,
-                pdt):
+def _sddmm_pass(col_f, row_f, rp, sbase, rlo_s, seg_of, wptr, g, x, *,
+                M: int, S: int, SR: int, W_s: int, ECW_s: int,
+                CRW_s: int, pdt):
     """d_value in fwd-packed order: one pass over the FORWARD geometry.
 
     Per sub-window both gathers are fast-mode — x rows from the 64 MB
@@ -446,12 +501,19 @@ def _sddmm_pass(col_f, row_f, rp, sbase, rlo_s, g, x, *, M: int,
     read-modify-write dynamic-update-slice at the window's own fwd
     offset: window tails past the segment end keep old values, which
     the next segment's windows then overwrite (window order is
-    ascending, segments are contiguous in fwd order)."""
+    ascending, segments are contiguous in fwd order).
+
+    ``CRW_s == 0`` selects global-gather mode: g rows come from the
+    full (M, K) buffer (slow mode) — the power-law fallback where no
+    bounded row span exists (tail rows with ~1 edge spread a window
+    over millions of rows and per-window slice copies of a near-full g
+    would dominate)."""
     nnz = col_f.shape[0]
     K = x.shape[1]
     x2 = x.astype(pdt)
     g2 = g.astype(pdt)
-    gp = jnp.concatenate([g2, jnp.zeros((CRW_s, K), g2.dtype)])
+    if CRW_s > 0:
+        gp = jnp.concatenate([g2, jnp.zeros((CRW_s, K), g2.dtype)])
     if x2.shape[0] < SR:
         x2 = jnp.concatenate(
             [x2, jnp.zeros((SR - x2.shape[0], K), x2.dtype)])
@@ -460,26 +522,28 @@ def _sddmm_pass(col_f, row_f, rp, sbase, rlo_s, g, x, *, M: int,
     arange_w = jnp.arange(ECW_s, dtype=jnp.int32)
 
     def body(k, dv):
-        s = k // W_s
-        w = k % W_s
-        e0 = rp[s, 0] + w * ECW_s
+        s = seg_of[k]
+        e0 = rp[s, 0] + (k - wptr[s]) * ECW_s
         cnt = jnp.clip(rp[s, M] - e0, 0, ECW_s)
         cols_l = jax.lax.dynamic_slice(cp, (e0,), (ECW_s,))
         rows_l = jax.lax.dynamic_slice(rpe, (e0,), (ECW_s,))
-        r0 = rlo_s[k]
         src_x = jax.lax.optimization_barrier(jax.lax.dynamic_slice(
             x2, (jnp.take(sbase, s), jnp.int32(0)), (SR, K)))
-        src_g = jax.lax.optimization_barrier(jax.lax.dynamic_slice(
-            gp, (r0, jnp.int32(0)), (CRW_s, K)))
         xg = jnp.take(src_x, cols_l, axis=0, mode="clip")
-        gg = jnp.take(src_g, rows_l - r0, axis=0, mode="clip")
+        if CRW_s > 0:
+            r0 = rlo_s[k]
+            src_g = jax.lax.optimization_barrier(jax.lax.dynamic_slice(
+                gp, (r0, jnp.int32(0)), (CRW_s, K)))
+            gg = jnp.take(src_g, rows_l - r0, axis=0, mode="clip")
+        else:
+            gg = jnp.take(g2, rows_l, axis=0, mode="clip")
         w_dv = (xg.astype(jnp.float32)
                 * gg.astype(jnp.float32)).sum(axis=1)
         old = jax.lax.dynamic_slice(dv, (e0,), (ECW_s,))
         new = jnp.where(arange_w < cnt, w_dv, old)
         return jax.lax.dynamic_update_slice(dv, new, (e0,))
 
-    dv = jax.lax.fori_loop(0, S * W_s, body,
+    dv = jax.lax.fori_loop(0, W_s, body,
                            jnp.zeros((nnz + ECW_s,), jnp.float32))
     return dv[:nnz]
 
@@ -487,7 +551,8 @@ def _sddmm_pass(col_f, row_f, rp, sbase, rlo_s, g, x, *, M: int,
 def _fwd_impl(plan: Seg2Plan, s: Seg2Structure, packed_value, x):
     from .kernels.spmm_pallas import _product_dtype
     pdt = _product_dtype(packed_value, x, plan.stream)
-    return _seg_pass(s.col_f, s.rp_f, s.sbase_f, s.rlo_f, packed_value,
+    return _seg_pass(s.col_f, s.rp_f, s.sbase_f, s.rlo_f, s.seg_of_f,
+                     s.wptr_f, packed_value,
                      x, out_rows=plan.num_rows, S=plan.S, SR=plan.SR,
                      W=plan.W, ECW=plan.ECW, CRW=plan.CRW,
                      E=plan.chunk, interpret=plan.interpret, pdt=pdt)
@@ -517,18 +582,21 @@ def _spmm_seg2_bwd(plan, res, g):
         # value relay: the one full-nnz permutation left (issue-bound)
         value_t = jnp.take(packed_value, s.relay_ft)
         d_x = _seg_pass(
-            s.col_t, s.rp_t, s.sbase_t, s.rlo_t, value_t, g,
+            s.col_t, s.rp_t, s.sbase_t, s.rlo_t, s.seg_of_t, s.wptr_t,
+            value_t, g,
             out_rows=plan.num_cols, S=plan.S_t, SR=plan.SR_t,
             W=plan.W_t, ECW=plan.ECW_t, CRW=plan.CRW_t, E=plan.chunk,
             interpret=plan.interpret, pdt=pdt)
         d_value = _sddmm_pass(
-            s.col_f, s.row_f, s.rp_f, s.sbase_f, s.rlo_s, g, x,
+            s.col_f, s.row_f, s.rp_f, s.sbase_f, s.rlo_s, s.seg_of_s,
+            s.wptr_s, g, x,
             M=plan.num_rows, S=plan.S, SR=plan.SR, W_s=plan.W_s,
             ECW_s=plan.ECW_s, CRW_s=plan.CRW_s,
             pdt=pdt).astype(packed_value.dtype)
     else:
         d_value = None
-        d_x = _seg_pass(s.col_t, s.rp_t, s.sbase_t, s.rlo_t, None, g,
+        d_x = _seg_pass(s.col_t, s.rp_t, s.sbase_t, s.rlo_t,
+                        s.seg_of_t, s.wptr_t, None, g,
                         out_rows=plan.num_cols, S=plan.S_t,
                         SR=plan.SR_t, W=plan.W_t, ECW=plan.ECW_t,
                         CRW=plan.CRW_t, E=plan.chunk,

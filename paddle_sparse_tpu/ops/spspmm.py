@@ -205,3 +205,66 @@ def plan_spgemm_rows(A, B, slack: float = 1.1, align: int = 8,
     if M * F > grid_budget * flops + (1 << 22):
         return None, rnd(flops * slack)
     return F, rnd(min(flops, M * F) * slack)
+
+
+def plan_spgemm_blocked(A, B, slack: float = 1.15, align: int = 8,
+                        grid_elems: int = 48_000_000):
+    """Capacity planner for :func:`core.spgemm.spspmm_rowblocked` (the
+    memory-scalable row-blocked fast path, round 5).
+
+    Returns ``(F, out_capacity, block_rows, block_edges, block_out)``
+    or ``None`` when row skew makes the per-row grid infeasible (F
+    would exceed the whole block grid — power-law rows; fall back to
+    :func:`core.spgemm.spspmm_padded`).  ``grid_elems`` bounds the
+    transient (block_rows, F) grid (~8 arrays of this many elements
+    live per block).
+    """
+    import jax.numpy as jnp
+
+    from ..core.matrix import PaddedCOO
+
+    def cdiv(a, b):
+        return -(-a // b)
+
+    def rnd(v, m=align):
+        return max(m, cdiv(int(v), m) * m)
+
+    if not isinstance(A, PaddedCOO):
+        A = A.to_padded()
+    if not isinstance(B, PaddedCOO):
+        B = B.to_padded()
+    M = A.shape[0]
+    max_rf, flops = _row_flop_stats(A.row, A.col, B.rowptr(),
+                                    A.valid_mask(), M=M)
+    max_rf, flops = int(max_rf), int(flops)
+    if flops == 0:
+        return None
+    F = rnd(max_rf)
+    MB = min(M, max(128, grid_elems // F))
+    if MB * F < F:          # F alone exceeds the grid budget
+        return None
+    NB = cdiv(M, MB)
+
+    @functools.partial(jax.jit, static_argnames=("mb", "nb", "m"))
+    def block_stats(rowA, colA, rowptrB, validA, eptr, *, mb, nb, m):
+        colA_c = jnp.where(validA, colA, 0)
+        degB = jnp.where(validA,
+                         rowptrB[colA_c + 1] - rowptrB[colA_c], 0)
+        rf = jax.ops.segment_sum(
+            degB, jnp.where(validA, rowA, m), num_segments=m + 1,
+            indices_are_sorted=True)[:m]
+        rf_pad = jnp.concatenate(
+            [rf, jnp.zeros((nb * mb - m,), rf.dtype)])
+        blk_flops = rf_pad.reshape(nb, mb).sum(axis=1)
+        bounds = eptr[jnp.minimum(
+            jnp.arange(nb + 1, dtype=jnp.int32) * mb, m)]
+        blk_edges = bounds[1:] - bounds[:-1]
+        return blk_flops.max(), blk_edges.max()
+
+    mbf, mbe = block_stats(A.row, A.col, B.rowptr(), A.valid_mask(),
+                           A.rowptr(), mb=MB, nb=NB, m=M)
+    EB = rnd(int(mbe) * 1.02 + 8)
+    # block output <= block flops; block flops also caps the total
+    BOC = rnd(min(int(mbf), MB * F) * slack)
+    out_capacity = rnd(min(flops, M * F) * slack)
+    return F, out_capacity, MB, EB, BOC

