@@ -318,8 +318,10 @@ def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
     if chunk_edges is None:
         # keep the kernel's per-chunk BYTES roughly constant: narrow K
         # pays the same per-grid-step fixed cost for fewer edges, so
-        # scale the chunk up (measured: K=64 fwd 196 -> 189 ms at E=2048)
-        chunk_edges = min(4096, max(512, 512 * (256 // max(feat_dim, 1))))
+        # scale the chunk up (measured: K=64 fwd 196 -> 189 ms at
+        # E=2048; r5: K=256 fwd 136 -> 131 ms at E=1024)
+        chunk_edges = min(4096, max(1024,
+                                    512 * (512 // max(feat_dim, 1))))
 
     row = jnp.asarray(row, jnp.int32)
     col = jnp.asarray(col, jnp.int32)

@@ -240,10 +240,13 @@ def plan_spgemm_blocked(A, B, slack: float = 1.15, align: int = 8,
     if flops == 0:
         return None
     F = rnd(max_rf)
+    # row-skew infeasibility (mirrors plan_spgemm_rows): a hot row makes
+    # the per-row grid mostly padding, and a huge F starves the block
+    # height — fall back to the global-sort ESC
     MB = min(M, max(128, grid_elems // F))
-    if MB * F < F:          # F alone exceeds the grid budget
-        return None
     NB = cdiv(M, MB)
+    if NB * MB * F > 4.0 * flops + (1 << 22) or F > grid_elems // 128:
+        return None
 
     @functools.partial(jax.jit, static_argnames=("mb", "nb", "m"))
     def block_stats(rowA, colA, rowptrB, validA, eptr, *, mb, nb, m):
