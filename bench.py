@@ -227,19 +227,18 @@ def window_dedup_stats(plan, structure):
     import jax
     import jax.numpy as jnp
 
-    S, W, ECW, SR = plan.S, plan.W, plan.ECW, plan.SR
+    W, ECW, SR = plan.W, plan.ECW, plan.SR
     M = plan.num_rows
 
     @functools.partial(jax.jit, static_argnames=())
-    def stats(col_f, rp):
+    def stats(col_f, rp, seg_of, wptr):
         colp = jnp.concatenate([col_f, jnp.zeros((ECW,), jnp.int32)])
         arange_w = jnp.arange(ECW, dtype=jnp.int32)
 
         def body(k, carry):
             tot_u, max_u, tot_e = carry
-            s = k // W
-            w = k % W
-            e0 = rp[s, 0] + w * ECW
+            s = seg_of[k]
+            e0 = rp[s, 0] + (k - wptr[s]) * ECW
             cnt = jnp.clip(rp[s, M] - e0, 0, ECW)
             cols = jax.lax.dynamic_slice(colp, (e0,), (ECW,))
             cols = jnp.where(arange_w < cnt, cols, SR)
@@ -248,12 +247,12 @@ def window_dedup_stats(plan, structure):
             u = present[:SR].sum()
             return tot_u + u, jnp.maximum(max_u, u), tot_e + cnt
         return jax.lax.fori_loop(
-            0, S * W, body,
-            (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+            0, W, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
 
-    tot_u, max_u, tot_e = stats(structure.col_f, structure.rp_f)
+    tot_u, max_u, tot_e = stats(structure.col_f, structure.rp_f,
+                                structure.seg_of_f, structure.wptr_f)
     tot_u, max_u, tot_e = int(tot_u), int(max_u), int(tot_e)
-    windows = S * W
+    windows = W
     stream_bytes = 2 if plan.stream == "bf16" else 4
     # feat dim isn't on the plan; footprint reported per 256-dim bf16
     return {
@@ -388,6 +387,36 @@ def measure(backend: str, scale: float, graph: str = "uniform",
             return spmm_seg2(plan, s, v, xx)
 
         args = (structure, packed, x)
+    elif backend == "seg2split":
+        # local/residual split (round 5): the clustered-graph backend —
+        # dense diagonal blocks and the uniform-ish tail each get their
+        # own seg2 plan; one mixed plan's windows span millions of rows
+        # on the sparse tail (measured: 3412 ms vs 1356 uniform)
+        from paddle_sparse_tpu.ops.spmm_split import (make_split_plan,
+                                                      pack_values_split,
+                                                      spmm_split)
+        plan, structure = make_split_plan(row, col, num_nodes, num_nodes,
+                                          feat_dim=dim,
+                                          block=int(os.environ.get(
+                                              "PSP_SPLIT_BLOCK", 2048)))
+        _log(f"split plan: local nnz={int(structure.idx_local.shape[0])}"
+             f" W={plan.local.W} CRW={plan.local.CRW} | resid "
+             f"nnz={int(structure.idx_resid.shape[0])} "
+             f"W={plan.resid.W} CRW={plan.resid.CRW}")
+        if graph == "clustered":
+            from paddle_sparse_tpu.ops.spmm_seg2 import Seg2Plan  # noqa
+            dedup = window_dedup_stats(plan.local, structure.local)
+            dedup["side"] = "local"
+            _log(f"clustered dedup (local plan): {dedup}")
+        packed = pack_values_split(structure, value)
+        jax.block_until_ready((structure, packed))
+        del row, col, value
+        row = col = value = None
+
+        def spmm_fn(s, v, xx):
+            return spmm_split(plan, s, v, xx)
+
+        args = (structure, packed, x)
     elif backend == "seg":
         from paddle_sparse_tpu.ops.spmm_seg import (make_seg_plan,
                                                     pack_values, spmm_seg)
@@ -439,6 +468,14 @@ def measure(backend: str, scale: float, graph: str = "uniform",
     plan_s = time.perf_counter() - t_plan0
     _log(f"{backend}@{scale}: plan done ({plan_s:.1f}s)")
 
+    def _chain(tree, acc):
+        # value leaves may be a pytree (the split backend carries two)
+        return jax.tree_util.tree_map(lambda a: a + acc * 0.0, tree)
+
+    def _tsum(tree):
+        return sum(jnp.sum(leaf) for leaf in
+                   jax.tree_util.tree_leaves(tree))
+
     @functools.partial(jax.jit, static_argnames=("n",))
     def fwd_loop(s, value, x, n):
         def body(i, acc):
@@ -448,7 +485,7 @@ def measure(backend: str, scale: float, graph: str = "uniform",
             # per iteration, faking up to 3x), and the carry is a FULL
             # reduction (a scalar slice would let XLA DCE-slice through
             # the gathers and fake the number)
-            v = value + acc * 0.0
+            v = _chain(value, acc)
             xx = x + acc * 0.0
             out = spmm_fn(s, v, xx)
             return (jnp.sum(out) * 1e-12).astype(jnp.float32)
@@ -460,10 +497,10 @@ def measure(backend: str, scale: float, graph: str = "uniform",
             return spmm_fn(s, v, xx).sum()
 
         def body(i, acc):
-            v = value + acc * 0.0
+            v = _chain(value, acc)
             xx = x + acc * 0.0
             l, (dv, dx) = jax.value_and_grad(loss, argnums=(0, 1))(v, xx)
-            return ((jnp.sum(dv) + jnp.sum(dx) + l) * 1e-12).astype(
+            return ((_tsum(dv) + jnp.sum(dx) + l) * 1e-12).astype(
                 jnp.float32)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
@@ -956,9 +993,97 @@ def main():
                 probe_log[f"{backend}@{scale}"] = err
                 break  # larger scales of a failing backend won't do better
 
+    # Incremental emission (round 5): a budget-starved or killed run
+    # keeps whatever was already measured — the driver parses the LAST
+    # compact line, and each phase below re-emits the full record.
+    aux = {"powerlaw": None, "clustered": None, "dim64": None,
+           "partition": None}
+
+    def emit_current():
+        if not results:
+            emit_record({"metric": "spmm_fwd_roofline_frac",
+                         "value": 0.0,
+                         "unit": "fraction_of_hbm_roofline",
+                         "vs_baseline": 0.0,
+                         "detail": {"error": "all probes failed",
+                                    "probes": probe_log,
+                                    "spgemm": spgemm, **aux}})
+            return
+        # headline: the FULL-target-scale probe (the north star names
+        # ogbn-products, ~124M nnz); fall back to the best >=12M-nnz
+        # probe, then best overall.  The best large regime is reported
+        # separately (VERDICT r4 item 4: the r4 headline hid a 24%
+        # drop).
+        all_probes = [r for rs in results.values() for r in rs]
+        full = [r for r in all_probes if r.get("scale", 0) >= 1.0]
+        big = [r for r in all_probes if r["nnz"] >= MIN_HEADLINE_NNZ]
+        pool = full or big or all_probes
+        r = max(pool, key=frac_of)
+        br = max(big or all_probes, key=frac_of)
+        best_regime = {
+            "backend": next(b for b, rs in results.items()
+                            if br in rs),
+            "nnz": br["nnz"], "frac": round(frac_of(br), 4),
+            "fwd_ms": round(br["fwd_s"] * 1e3, 2)} \
+            if br is not r else None
+        best = next(b for b, rs in results.items() if r in rs)
+        kind = r.get("device_kind", "unknown")
+        bw_gbps = bandwidth_for(kind)
+        fwd_bytes = roofline_bytes(r["nnz"], r["nodes"], r["dim"])
+        frac = frac_of(r)
+        fwd_gbps = fwd_bytes / r["fwd_s"] / 1e9
+
+        # scaling estimates fed by the MEASURED bandwidth plus the
+        # at-target-bandwidth column where comm terms bind
+        try:
+            from paddle_sparse_tpu.parallel.scaling import scaling_report
+            scaling = {
+                f"D={d}": scaling_report(d, r["nnz"], r["nodes"],
+                                         r["nodes"], r["dim"],
+                                         achieved_gbps=fwd_gbps,
+                                         device_kind=kind)
+                for d in (8, 16, 64, 256)}
+            scaling["achieved_gbps"] = round(fwd_gbps, 1)
+        except Exception as e:  # noqa: BLE001
+            scaling = {"error": str(e)[:200]}
+
+        emit_record({
+            "metric": "spmm_fwd_roofline_frac",
+            "value": round(frac, 4),
+            "unit": "fraction_of_hbm_roofline",
+            "vs_baseline": round(frac / 0.70, 4),
+            "detail": {
+                "device": kind,
+                "backend": best,
+                "stream": r.get("stream", "f32"),
+                "scale": r.get("scale", 1.0),
+                "nnz": r["nnz"],
+                "nodes": r["nodes"],
+                "dim": r["dim"],
+                "fwd_ms": round(r["fwd_s"] * 1e3, 3),
+                "fwd_bwd_ms": (round(r["fwdbwd_s"] * 1e3, 3)
+                               if r.get("fwdbwd_s") else None),
+                "fwd_bwd_ratio": (round(r["fwdbwd_s"] / r["fwd_s"], 2)
+                                  if r.get("fwdbwd_s") else None),
+                "fwd_gbps": round(fwd_gbps, 1),
+                "nnz_per_s_G": round(r["nnz"] / r["fwd_s"] / 1e9, 3),
+                "gather_Mrows_s": round(r["nnz"] / r["fwd_s"] / 1e6,
+                                        1),
+                "hbm_gbps": bw_gbps,
+                "best_regime": best_regime,
+                "compile_s": {"fwd": r.get("fwd_compile_s"),
+                              "bwd": r.get("fwdbwd_compile_s")},
+                "probes": probe_log,
+                "scaling": scaling,
+                "spgemm": spgemm,
+                **aux,
+            },
+        })
+
+    emit_current()
+
     # --- power-law probe at FULL scale (VERDICT r3 item 5: the
     # realistic-graph headline) on the best backend so far ---
-    powerlaw = None
     if os.environ.get("BENCH_POWERLAW", "1") != "0" and results and \
             deadline - time.monotonic() > 120:
         best_backend = max(
@@ -977,22 +1102,25 @@ def main():
                                max(60.0, deadline - time.monotonic()
                                    - (280 if want_oracle else 5)),
                                graph="zipf")
-        powerlaw = ({"backend": best_backend, "scale": pl_scale,
-                     "nnz": r["nnz"],
-                     "fwd_ms": round(r["fwd_s"] * 1e3, 2),
-                     "fwd_bwd_ms": (round(r["fwdbwd_s"] * 1e3, 2)
-                                    if r.get("fwdbwd_s") else None),
-                     "frac": round(frac_of(r), 4),
-                     "capacity_blowup": r.get("capacity_blowup")}
-                    if r is not None else {"error": err})
+        aux["powerlaw"] = (
+            {"backend": best_backend, "scale": pl_scale,
+             "nnz": r["nnz"],
+             "fwd_ms": round(r["fwd_s"] * 1e3, 2),
+             "fwd_bwd_ms": (round(r["fwdbwd_s"] * 1e3, 2)
+                            if r.get("fwdbwd_s") else None),
+             "frac": round(frac_of(r), 4),
+             "capacity_blowup": r.get("capacity_blowup")}
+            if r is not None else {"error": err})
+        emit_current()
 
     # --- clustered (community-structured) probe at FULL scale (VERDICT
     # r4 item 2: the realistic-locality headline + measured dedup) ---
-    clustered = None
     if os.environ.get("BENCH_CLUSTERED", "1") != "0" and results and \
             deadline - time.monotonic() > 150:
-        best_backend = max(
-            results, key=lambda b: max(frac_of(r) for r in results[b]))
+        # the split backend is the clustered-graph flagship (one mixed
+        # seg2 plan measured 2.5x slower — sparse-tail window spans)
+        best_backend = os.environ.get("BENCH_CLUSTERED_BACKEND",
+                                      "seg2split_bf16")
         cl_scale = float(os.environ.get("BENCH_CLUSTERED_SCALE", "1.0"))
         r, err = run_probe(best_backend, cl_scale,
                            min(450.0, max(120.0,
@@ -1006,18 +1134,19 @@ def main():
                                              deadline - time.monotonic()
                                              - 150)),
                                graph="clustered")
-        clustered = ({"backend": best_backend, "scale": cl_scale,
-                      "nnz": r["nnz"],
-                      "fwd_ms": round(r["fwd_s"] * 1e3, 2),
-                      "fwd_bwd_ms": (round(r["fwdbwd_s"] * 1e3, 2)
-                                     if r.get("fwdbwd_s") else None),
-                      "frac": round(frac_of(r), 4),
-                      "dedup": r.get("dedup"),
-                      "local_frac": r.get("local_frac")}
-                     if r is not None else {"error": err})
+        aux["clustered"] = (
+            {"backend": best_backend, "scale": cl_scale,
+             "nnz": r["nnz"],
+             "fwd_ms": round(r["fwd_s"] * 1e3, 2),
+             "fwd_bwd_ms": (round(r["fwdbwd_s"] * 1e3, 2)
+                            if r.get("fwdbwd_s") else None),
+             "frac": round(frac_of(r), 4),
+             "dedup": r.get("dedup"),
+             "local_frac": r.get("local_frac")}
+            if r is not None else {"error": err})
+        emit_current()
 
     # --- K=64 regime (BASELINE.md row 2 names dense dim 64 and 256) ---
-    dim64 = None
     if os.environ.get("BENCH_DIM64", "1") != "0" and results and \
             deadline - time.monotonic() > (300 if want_oracle else 0) + 90:
         best_backend = max(
@@ -1027,21 +1156,23 @@ def main():
             min(280.0, deadline - time.monotonic()
                 - (300 if want_oracle else 5)),
             extra_env={"BENCH_DIM": "64"})
-        dim64 = ({"backend": best_backend,
-                  "fwd_ms": round(r["fwd_s"] * 1e3, 2),
-                  "fwd_bwd_ms": (round(r["fwdbwd_s"] * 1e3, 2)
-                                 if r.get("fwdbwd_s") else None),
-                  "frac": round(frac_of(r), 4), "nnz": r["nnz"]}
-                 if r is not None else {"error": err})
+        aux["dim64"] = (
+            {"backend": best_backend,
+             "fwd_ms": round(r["fwd_s"] * 1e3, 2),
+             "fwd_bwd_ms": (round(r["fwdbwd_s"] * 1e3, 2)
+                            if r.get("fwdbwd_s") else None),
+             "frac": round(frac_of(r), 4), "nnz": r["nnz"]}
+            if r is not None else {"error": err})
+        emit_current()
 
     # --- partition quality (host-side, seconds) ---
-    partition = None
     if os.environ.get("BENCH_PARTITION", "1") != "0":
         try:
-            partition = partition_probe()
+            aux["partition"] = partition_probe()
         except Exception as e:  # noqa: BLE001
-            partition = {"error": f"{type(e).__name__}: {e}"[:200]}
-        _log(f"partition probe done: {json.dumps(partition)[:160]}")
+            aux["partition"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        _log(f"partition probe done: "
+             f"{json.dumps(aux['partition'])[:160]}")
 
     # --- XLA oracle last (uninterruptible compile; see XLA_ORACLE_SCALE) --
     if want_oracle:
@@ -1058,84 +1189,7 @@ def main():
         else:
             probe_log["xla"] = {"error": "budget spent"}
 
-    if not results:
-        emit_record({"metric": "spmm_fwd_roofline_frac", "value": 0.0,
-                     "unit": "fraction_of_hbm_roofline",
-                     "vs_baseline": 0.0,
-                     "detail": {"error": "all probes failed",
-                                "probes": probe_log,
-                                "spgemm": spgemm}})
-        return
-
-    # headline: the FULL-target-scale probe (the north star names
-    # ogbn-products, ~124M nnz); fall back to the best >=12M-nnz probe,
-    # then best overall.  The best large regime is reported separately
-    # in detail (VERDICT r4 item 4: the r4 headline hid a 24% drop).
-    all_probes = [r for rs in results.values() for r in rs]
-    full = [r for r in all_probes if r.get("scale", 0) >= 1.0]
-    big = [r for r in all_probes if r["nnz"] >= MIN_HEADLINE_NNZ]
-    pool = full or big or all_probes
-    r = max(pool, key=frac_of)
-    br = max(big or all_probes, key=frac_of)
-    best_regime = {
-        "backend": next(b for b, rs in results.items() if br in rs),
-        "nnz": br["nnz"], "frac": round(frac_of(br), 4),
-        "fwd_ms": round(br["fwd_s"] * 1e3, 2)} if br is not r else None
-    best = next(b for b, rs in results.items() if r in rs)
-    kind = r.get("device_kind", "unknown")
-    bw_gbps = bandwidth_for(kind)
-    fwd_bytes = roofline_bytes(r["nnz"], r["nodes"], r["dim"])
-    frac = frac_of(r)
-    fwd_gbps = fwd_bytes / r["fwd_s"] / 1e9
-
-    # scaling estimates fed by the MEASURED bandwidth plus the
-    # at-target-bandwidth column where comm terms bind; pod-scale D
-    # values are where the strategies separate (VERDICT r3 item 6)
-    try:
-        from paddle_sparse_tpu.parallel.scaling import scaling_report
-        scaling = {
-            f"D={d}": scaling_report(d, r["nnz"], r["nodes"], r["nodes"],
-                                     r["dim"], achieved_gbps=fwd_gbps,
-                                     device_kind=kind)
-            for d in (8, 16, 64, 256)}
-        scaling["achieved_gbps"] = round(fwd_gbps, 1)
-    except Exception as e:  # noqa: BLE001
-        scaling = {"error": str(e)[:200]}
-
-    emit_record({
-        "metric": "spmm_fwd_roofline_frac",
-        "value": round(frac, 4),
-        "unit": "fraction_of_hbm_roofline",
-        "vs_baseline": round(frac / 0.70, 4),
-        "detail": {
-            "device": kind,
-            "backend": best,
-            "stream": r.get("stream", "f32"),
-            "scale": r.get("scale", 1.0),
-            "nnz": r["nnz"],
-            "nodes": r["nodes"],
-            "dim": r["dim"],
-            "fwd_ms": round(r["fwd_s"] * 1e3, 3),
-            "fwd_bwd_ms": (round(r["fwdbwd_s"] * 1e3, 3)
-                           if r.get("fwdbwd_s") else None),
-            "fwd_bwd_ratio": (round(r["fwdbwd_s"] / r["fwd_s"], 2)
-                              if r.get("fwdbwd_s") else None),
-            "fwd_gbps": round(fwd_gbps, 1),
-            "nnz_per_s_G": round(r["nnz"] / r["fwd_s"] / 1e9, 3),
-            "gather_Mrows_s": round(r["nnz"] / r["fwd_s"] / 1e6, 1),
-            "hbm_gbps": bw_gbps,
-            "best_regime": best_regime,
-            "compile_s": {"fwd": r.get("fwd_compile_s"),
-                          "bwd": r.get("fwdbwd_compile_s")},
-            "probes": probe_log,
-            "powerlaw": powerlaw,
-            "clustered": clustered,
-            "dim64": dim64,
-            "scaling": scaling,
-            "spgemm": spgemm,
-            "partition": partition,
-        },
-    })
+    emit_current()
 
 
 # detail keys small enough (and load-bearing enough) to ride in the
