@@ -723,6 +723,7 @@ def spgemm_probe():
     _log("spgemm: small operand ready")
     out["fast"] = _spgemm_variant(A, "fast")
     _log(f"spgemm[fast]: {out['fast']}")
+    print(json.dumps(out), flush=True)   # partial record survives a kill
     del A
 
     # --- ogbn-scale probe: >=10M-nnz A through the blocked path --------
@@ -734,12 +735,13 @@ def spgemm_probe():
         _log("spgemm: big operand ready")
         out["blocked_10M"] = _spgemm_variant(Ab, "blocked", iters=3)
         _log(f"spgemm[blocked_10M]: {out['blocked_10M']}")
+        print(json.dumps(out), flush=True)
         del Ab
     else:
         out["blocked_10M"] = {"skipped": "budget"}
 
     # --- power-law A variant ------------------------------------------
-    if time.perf_counter() - t0 < 0.8 * slice_s:
+    if time.perf_counter() - t0 < 0.6 * slice_s:
         Az = _spgemm_operand(
             int(os.environ.get("BENCH_SPGEMM_ZIPF_NODES", 100_000)),
             16, zipf_alpha=1.5)
@@ -947,6 +949,18 @@ def main():
             if isinstance(tail, bytes):
                 tail = tail.decode("utf-8", "replace")
             spgemm = {"error": "timeout", "stderr_tail": tail[-400:]}
+            # the probe prints a partial record after each leg — keep
+            # whatever completed before the kill
+            partial = e.stdout or b""
+            if isinstance(partial, bytes):
+                partial = partial.decode("utf-8", "replace")
+            for line in reversed(partial.strip().splitlines()):
+                try:
+                    spgemm = dict(json.loads(line),
+                                  note="partial (slice timeout)")
+                    break
+                except (json.JSONDecodeError, ValueError):
+                    continue
         except Exception as e:  # noqa: BLE001 — secondary metric only
             spgemm = {"error": f"{type(e).__name__}: {e}"[:300]}
     _log(f"spgemm slice done: {json.dumps(spgemm)[:120]}")
@@ -1122,8 +1136,11 @@ def main():
         best_backend = os.environ.get("BENCH_CLUSTERED_BACKEND",
                                       "seg2split_bf16")
         cl_scale = float(os.environ.get("BENCH_CLUSTERED_SCALE", "1.0"))
+        # the split builds TWO plans (~420 s cold at full scale); the
+        # emission is incremental so overshooting only costs later,
+        # lower-priority phases
         r, err = run_probe(best_backend, cl_scale,
-                           min(450.0, max(120.0,
+                           min(600.0, max(120.0,
                                           deadline - time.monotonic()
                                           - 200)),
                            graph="clustered")

@@ -872,3 +872,38 @@ def spmm_pallas(rowptr: jax.Array, col: jax.Array,
     common = x.dtype if value is None else jnp.promote_types(value.dtype,
                                                              x.dtype)
     return out.astype(common)
+
+
+def _mulreduce_kernel(a_ref, b_ref, out_ref):
+    out_ref[:] = (a_ref[:].astype(jnp.float32)
+                  * b_ref[:].astype(jnp.float32)).sum(
+        axis=1, keepdims=True)
+
+
+def mul_rowsum_call(a: jax.Array, b: jax.Array, *, chunk: int = 2048,
+                    interpret: bool = False) -> jax.Array:
+    """Per-row dot of two (L, K) streams -> (L,) f32, streamed through
+    VMEM in ``chunk``-row blocks (round 5).
+
+    XLA materializes BOTH f32 upcast streams through HBM when two
+    gather outputs meet in an elementwise multiply (+97 ms per 15.3M
+    edges measured in experiments/r5_sddmm_micro.py — barrier/fusion
+    hints don't change it); this kernel reads each bf16 stream once and
+    writes only the (L,) result."""
+    import jax.experimental.pallas as pl
+
+    L, K = a.shape
+    Lp = -(-L // chunk) * chunk
+    if Lp != L:
+        pad = jnp.zeros((Lp - L, K), a.dtype)
+        a = jnp.concatenate([a, pad])
+        b = jnp.concatenate([b, pad.astype(b.dtype)])
+    out = pl.pallas_call(
+        _mulreduce_kernel,
+        grid=(Lp // chunk,),
+        in_specs=[pl.BlockSpec((chunk, K), lambda c: (c, 0)),
+                  pl.BlockSpec((chunk, K), lambda c: (c, 0))],
+        out_specs=pl.BlockSpec((chunk, 1), lambda c: (c, 0)),
+        out_shape=jax.ShapeDtypeStruct((Lp, 1), jnp.float32),
+        interpret=interpret)(a, b)
+    return out[:L, 0]

@@ -493,7 +493,7 @@ def _seg_pass(cols, rp, sbase, rlo, seg_of, wptr, vals, x, *,
 
 def _sddmm_pass(col_f, row_f, rp, sbase, rlo_s, seg_of, wptr, g, x, *,
                 M: int, S: int, SR: int, W_s: int, ECW_s: int,
-                CRW_s: int, pdt):
+                CRW_s: int, pdt, interpret: bool = False):
     """d_value in fwd-packed order: one pass over the FORWARD geometry.
 
     Per sub-window both gathers are fast-mode — x rows from the 64 MB
@@ -539,8 +539,14 @@ def _sddmm_pass(col_f, row_f, rp, sbase, rlo_s, seg_of, wptr, g, x, *,
             gg = jnp.take(src_g, rows_l - r0, axis=0, mode="clip")
         else:
             gg = jnp.take(g2, rows_l, axis=0, mode="clip")
-        w_dv = (xg.astype(jnp.float32)
-                * gg.astype(jnp.float32)).sum(axis=1)
+        # streaming multiply-reduce kernel: XLA materializes both f32
+        # upcast streams when two gather outputs meet in an elementwise
+        # multiply (measured +97 ms / 15.3M edges); the kernel reads
+        # each stream once in bf16
+        from .kernels.spmm_pallas import mul_rowsum_call
+        w_dv = mul_rowsum_call(jax.lax.optimization_barrier(xg),
+                               jax.lax.optimization_barrier(gg),
+                               interpret=interpret)
         old = jax.lax.dynamic_slice(dv, (e0,), (ECW_s,))
         new = jnp.where(arange_w < cnt, w_dv, old)
         return jax.lax.dynamic_update_slice(dv, new, (e0,))
@@ -593,8 +599,8 @@ def _spmm_seg2_bwd(plan, res, g):
             s.col_f, s.row_f, s.rp_f, s.sbase_f, s.rlo_s, s.seg_of_s,
             s.wptr_s, g, x,
             M=plan.num_rows, S=plan.S, SR=plan.SR, W_s=plan.W_s,
-            ECW_s=plan.ECW_s, CRW_s=plan.CRW_s,
-            pdt=pdt).astype(packed_value.dtype)
+            ECW_s=plan.ECW_s, CRW_s=plan.CRW_s, pdt=pdt,
+            interpret=plan.interpret).astype(packed_value.dtype)
     else:
         d_value = None
         d_x = _seg_pass(s.col_t, s.rp_t, s.sbase_t, s.rlo_t,
