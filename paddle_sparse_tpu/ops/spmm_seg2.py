@@ -358,8 +358,17 @@ def make_seg2_plan(row, col, num_rows: int, num_cols: int, *,
     # gets ceil(seg_edges / ECW) windows
     E = chunk_edges
     win_edges = max(E, window_bytes // max(1, feat_dim * stream_bytes))
-    ECW = rnd(min(win_edges, max(int(max_f), 1)), E)
-    ECW_t = rnd(min(win_edges, max(int(max_t), 1)), E)
+
+    def fit_ecw(max_seg):
+        # fit the LARGEST segment with equal windows instead of fixing
+        # ECW = the budget: a fixed ECW leaves each segment's last
+        # window mostly empty (ceil slack — measured 12% slot blowup
+        # and +10% full-scale fwd on uniform)
+        max_seg = max(int(max_seg), 1)
+        return rnd(cdiv(max_seg, cdiv(max_seg, win_edges)), E)
+
+    ECW = fit_ecw(max_f)
+    ECW_t = fit_ecw(max_t)
 
     # ---- phase 3: flattened windows + row spans ------------------------
     wc_f = _window_counts(rp_f, ECW=ECW)
@@ -539,14 +548,21 @@ def _sddmm_pass(col_f, row_f, rp, sbase, rlo_s, seg_of, wptr, g, x, *,
             gg = jnp.take(src_g, rows_l - r0, axis=0, mode="clip")
         else:
             gg = jnp.take(g2, rows_l, axis=0, mode="clip")
-        # streaming multiply-reduce kernel: XLA materializes both f32
-        # upcast streams when two gather outputs meet in an elementwise
-        # multiply (measured +97 ms / 15.3M edges); the kernel reads
-        # each stream once in bf16
-        from .kernels.spmm_pallas import mul_rowsum_call
-        w_dv = mul_rowsum_call(jax.lax.optimization_barrier(xg),
-                               jax.lax.optimization_barrier(gg),
-                               interpret=interpret)
+        import os as _os
+        if _os.environ.get("PSP_SDDMM_MULKERNEL", "0") == "1":
+            # streaming multiply-reduce kernel (opt-in, measured LOSS):
+            # XLA materializes both f32 upcast streams when two gather
+            # outputs meet in an elementwise multiply (+97 ms / 15.3M
+            # edges), but the kernel's per-window launch + per-step
+            # small-block costs measured WORSE at full scale (fwd+bwd
+            # 5627 vs 5047 ms) — kept as the record of the experiment
+            from .kernels.spmm_pallas import mul_rowsum_call
+            w_dv = mul_rowsum_call(jax.lax.optimization_barrier(xg),
+                                   jax.lax.optimization_barrier(gg),
+                                   interpret=interpret)
+        else:
+            w_dv = (xg.astype(jnp.float32)
+                    * gg.astype(jnp.float32)).sum(axis=1)
         old = jax.lax.dynamic_slice(dv, (e0,), (ECW_s,))
         new = jnp.where(arange_w < cnt, w_dv, old)
         return jax.lax.dynamic_update_slice(dv, new, (e0,))

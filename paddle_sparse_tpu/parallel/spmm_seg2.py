@@ -95,8 +95,15 @@ def make_seg2_plan_sharded(mat: RowShardedMatrix, *, feat_dim: int,
     # over shards; a shard's surplus windows alias its last segment past
     # its end and no-op
     win_edges = max(E, window_bytes // max(1, feat_dim * stream_bytes))
-    ECW = rnd(min(win_edges, max(int(max_f.max()), 1)), E)
-    ECW_t = rnd(min(win_edges, max(int(max_t.max()), 1)), E)
+
+    def fit_ecw(max_seg):
+        # fit the largest segment with equal windows (see
+        # ops.spmm_seg2.make_seg2_plan — fixed ECW leaves ceil slack)
+        max_seg = max(int(max_seg), 1)
+        return rnd(cdiv(max_seg, cdiv(max_seg, win_edges)), E)
+
+    ECW = fit_ecw(max_f.max())
+    ECW_t = fit_ecw(max_t.max())
     wc_f = jax.vmap(functools.partial(_window_counts, ECW=ECW))(rp_f)
     wc_t = jax.vmap(functools.partial(_window_counts, ECW=ECW_t))(rp_t)
     W = max(1, int(wc_f.sum(axis=1).max()))
