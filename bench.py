@@ -361,7 +361,11 @@ def measure(backend: str, scale: float, graph: str = "uniform",
                                                      spmm_seg2)
         sr_env = os.environ.get("PSP_SEG2_SR")
         win_mb = int(os.environ.get("PSP_SEG2_WINMB", "512"))
-        chunk = int(os.environ.get("PSP_SEG2_CHUNK", "512"))
+        chunk_env = os.environ.get("PSP_SEG2_CHUNK")
+        # None -> the planner's K-scaled default (narrow K needs bigger
+        # chunks: the per-grid-step fixed cost is per CHUNK, so K=64 at
+        # E=512 paid it 4x per byte — measured 225 ms vs ~190 expected)
+        chunk = int(chunk_env) if chunk_env else None
         plan, structure = make_seg2_plan(row, col, num_nodes, num_nodes,
                                          feat_dim=dim,
                                          sr=int(sr_env) if sr_env
@@ -873,6 +877,9 @@ def run_probe(backend: str, scale: float, timeout_s: float,
         argv.append(graph)
     env = dict(os.environ, BENCH_PROBE_DEADLINE=str(timeout_s),
                **(extra_env or {}))
+    _log(f"probe {backend}@{scale} {graph}: start "
+         f"(deadline {timeout_s:.0f}s)")
+    t_p0 = time.perf_counter()
     try:
         # soft limit via the probe's own deadline; the hard kill (which
         # leaves orphaned work wedging the remote device) only fires with
@@ -892,9 +899,15 @@ def run_probe(backend: str, scale: float, timeout_s: float,
     lines = (stdout or "").strip().splitlines()
     for line in reversed(lines):
         try:
-            return json.loads(line), None
+            out = json.loads(line)
+            _log(f"probe {backend}@{scale} {graph}: done "
+                 f"({time.perf_counter() - t_p0:.0f}s)")
+            return out, None
         except (json.JSONDecodeError, ValueError):
             continue
+    _log(f"probe {backend}@{scale} {graph}: FAILED rc={rc} "
+         f"({time.perf_counter() - t_p0:.0f}s) "
+         f"tail={(stderr or '')[-200:]!r}")
     return None, {"error": f"rc={rc}, no JSON output",
                   "stderr_tail": (stderr or "")[-600:]}
 
@@ -1103,12 +1116,14 @@ def main():
         best_backend = max(
             results, key=lambda b: max(frac_of(r) for r in results[b]))
         pl_scale = float(os.environ.get("BENCH_POWERLAW_SCALE", "1.0"))
+        full_err = None
         r, err = run_probe(best_backend, pl_scale,
-                           min(450.0, max(120.0,
+                           min(560.0, max(120.0,
                                           deadline - time.monotonic()
                                           - (280 if want_oracle else 5))),
                            graph="zipf")
         if r is None and pl_scale > 0.125:
+            full_err = err
             # full-scale zipf did not fit the remaining budget; record a
             # 1/8-scale number rather than nothing
             pl_scale = 0.125
@@ -1123,7 +1138,8 @@ def main():
              "fwd_bwd_ms": (round(r["fwdbwd_s"] * 1e3, 2)
                             if r.get("fwdbwd_s") else None),
              "frac": round(frac_of(r), 4),
-             "capacity_blowup": r.get("capacity_blowup")}
+             "capacity_blowup": r.get("capacity_blowup"),
+             "full_scale_error": full_err}
             if r is not None else {"error": err})
         emit_current()
 
