@@ -113,16 +113,8 @@ def main():
 
     timed("relay_ft take", relay_loop, s, packed)
 
-    # ---- stage: dv_map gather over the stacked buffer -------------------
-    buf = jnp.zeros((plan.S_t * plan.W_t * plan.ECW_t,), jnp.float32)
-
-    def dvmap_loop(s_, b, n):
-        def body(i, acc):
-            dv = jnp.take(b + acc * 0.0, s_.dv_map, mode="clip")
-            return (jnp.sum(dv) * 1e-12).astype(jnp.float32)
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
-
-    timed("dv_map take", dvmap_loop, s, buf)
+    # (historical: the r4 dv_map stage measured 119.6 ms here before the
+    # redesign removed the field — the r5 structure no longer carries it)
 
     # ---- stage: transpose pass alone (value_t precomputed) --------------
     value_t = jnp.take(packed, s.relay_ft)
@@ -130,7 +122,8 @@ def main():
 
     def tpass_loop(s_, vt, gg, n):
         def body(i, acc):
-            dx, _ = _seg_pass(s_.col_t, s_.rp_t, s_.sbase_t, s_.rlo_t,
+            dx = _seg_pass(s_.col_t, s_.rp_t, s_.sbase_t, s_.rlo_t,
+                              s_.seg_of_t, s_.wptr_t,
                               vt + acc * 0.0, gg + acc * 0.0,
                               out_rows=plan.num_cols, S=plan.S_t,
                               SR=plan.SR_t, W=plan.W_t, ECW=plan.ECW_t,
@@ -168,9 +161,8 @@ def main():
         arange_w = jnp.arange(ECW_s, dtype=jnp.int32)
 
         def body(k, dv):
-            sseg = k // W_s
-            w = k % W_s
-            e0 = rp[sseg, 0] + w * ECW_s
+            sseg = s.seg_of_s[k]
+            e0 = rp[sseg, 0] + (k - s.wptr_s[sseg]) * ECW_s
             cnt = jnp.clip(rp[sseg, M] - e0, 0, ECW_s)
             cols_l = jax.lax.dynamic_slice(cp, (e0,), (ECW_s,))
             rows_l = jax.lax.dynamic_slice(rp_e, (e0,), (ECW_s,))
@@ -188,7 +180,7 @@ def main():
             new = jnp.where(arange_w < cnt, w_dv, old)
             return jax.lax.dynamic_update_slice(dv, new, (e0,))
 
-        dv = jax.lax.fori_loop(0, plan.S * W_s, body, dv)
+        dv = jax.lax.fori_loop(0, W_s, body, dv)
         return dv[:nnz]
 
     def sddmm_loop(s_, rf, rl, gg, xx, n):
@@ -218,16 +210,17 @@ def main():
                 / jnp.maximum(1e-9, jnp.max(jnp.abs(want))))
     log(f"sddmm prototype max rel err vs direct (f32-of-bf16): {err:.2e}")
 
-    # ---- stage: slow-mode x-gather (the current sddmm inner gather) -----
+    # ---- stage: slow-mode big-source gather (the r4 sddmm inner
+    # gather shape; indices = fwd-order rows against the full x) -------
     def slowgather_loop(s_, xx, n):
         def body(i, acc):
-            xr = jnp.take(xx + acc * 0.0, s_.xrow_t, axis=0,
+            xr = jnp.take(xx + acc * 0.0, s_.row_f, axis=0,
                           mode="clip").astype(jnp.bfloat16)
             return (jnp.sum(xr.astype(jnp.float32)) * 1e-12).astype(
                 jnp.float32)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    timed("slow x-gather (xrow_t)", slowgather_loop, s, x)
+    timed("slow big-src gather", slowgather_loop, s, x)
 
 
 if __name__ == "__main__":

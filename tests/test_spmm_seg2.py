@@ -103,3 +103,17 @@ def test_seg2_unsorted_rows_rejected():
     col = np.array([0, 1, 2], np.int32)
     with pytest.raises(ValueError, match="sorted ascending"):
         make_seg2_plan(row, col, 4, 4, feat_dim=64)
+
+
+def test_seg2_empty_matrix():
+    """nnz=0 structures plan and run to a zero output (round-5
+    flattened-window geometry: zero-edge segments contribute zero
+    windows; a single dummy no-op window remains)."""
+    from paddle_sparse_tpu.ops.spmm_seg2 import (make_seg2_plan,
+                                                 spmm_seg2)
+    row = jnp.zeros((0,), jnp.int32)
+    col = jnp.zeros((0,), jnp.int32)
+    plan, s = make_seg2_plan(row, col, 8, 8, feat_dim=16, sr=8)
+    out = spmm_seg2(plan, s, None, jnp.ones((8, 16), jnp.float32))
+    assert out.shape == (8, 16)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
