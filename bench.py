@@ -8,12 +8,17 @@ HBM bandwidth.
 
 Compute paths measured — each in a guarded subprocess (a wedged TPU program
 cannot take down the whole run):
-  * "seg2"   — segment-gathered SpMM, packed values (r4 FLAGSHIP;
-               ops/spmm_seg2.py)
-  * "seg3"   — tile-span DMA-staged variant (ops/spmm_seg3.py; opt-in)
-  * "pallas" — r3 chunked XLA-gather + Pallas work-item reduction
-  * "sell"   — padded-group fused gather/reduce (ops/spmm_sell.py; opt-in)
-  * "xla"    — gather + sorted segment-sum oracle (opt-in, BENCH_XLA=1)
+  * "seg2"      — segment-gathered SpMM, packed values (FLAGSHIP;
+                  ops/spmm_seg2.py, flattened edge-balanced windows)
+  * "seg2split" — local/residual split for community-structured graphs
+                  (ops/spmm_split.py; the clustered probe's backend)
+  * "seg3"      — tile-span DMA-staged variant (ops/spmm_seg3.py; opt-in)
+  * "pallas"    — r3 chunked path (opt-in via BENCH_PALLAS=1)
+  * "sell"      — padded-group fused gather/reduce (opt-in)
+  * "xla"       — gather + sorted segment-sum oracle (opt-in, BENCH_XLA=1)
+Graph families: uniform (main ladder), zipf-1.5 power-law (full scale),
+clustered SBM (full scale, with measured per-window column-dedup stats),
+plus the K=64 regime and the SpGEMM / partition probes.
 Round-2 failure mode fixed here (VERDICT r2 items 1/3/5): the
 budget is SLICED PER BACKEND so one broken path cannot starve the others,
 probes run smallest scale first so every backend lands a number before
