@@ -163,12 +163,20 @@ def main():
     b_off = (rowptrB[colA_m] - ptrE[:-1]).astype(jnp.int32)
     le = (ptrE[:-1] - rowE[jnp.minimum(rowA, M)]).astype(jnp.int32)
     le_ok = (degB > 0) & (le < F)
-    # diff vs previous edge in the same row (rows sorted)
-    same_row = jnp.concatenate([jnp.zeros((1,), jnp.bool_),
-                                rowA[1:] == rowA[:-1]])
-    prev_boff = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                 b_off[:-1]])
-    d_boff = jnp.where(same_row, b_off - prev_boff, b_off)
+    # diff vs the previous KEPT edge in the same row: zero-fanout edges
+    # occupy no grid slot, so chaining through them loses their diff
+    # (the first run of this probe failed equality exactly here).  The
+    # previous kept edge is a global cummax over tagged edge ids (cheap:
+    # nnzA elements), with a row-crossing guard falling back to the
+    # absolute b_off.
+    nE = b_off.shape[0]
+    eidx = jnp.arange(nE, dtype=jnp.int32)
+    tag = jnp.where(le_ok, eidx, -1)
+    prev_kept = jax.lax.cummax(
+        jnp.concatenate([jnp.full((1,), -1, jnp.int32), tag[:-1]]))
+    pk_cl = jnp.clip(prev_kept, 0, nE - 1)
+    same_row = (prev_kept >= 0) & (rowA[pk_cl] == rowA)
+    d_boff = jnp.where(same_row, b_off - b_off[pk_cl], b_off)
     r_idx = jnp.minimum(rowA, M - 1)
     le_cl = jnp.where(le_ok, le, F)
     jax.block_until_ready((d_boff, r_idx, le_cl))

@@ -182,6 +182,83 @@ def _paired_gather_bwd(res, ct):
 _paired_gather.defvjp(_paired_gather_fwd, _paired_gather_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _expand_holds_last(M, F, valA, b_off, rowA, le_e, le_keep):
+    """Expand per-edge ``(b_off, valA)`` onto the (M, F) flop grid with
+    holds-last semantics — equal to ``b_off[a_id]`` / ``valA[a_id]`` —
+    WITHOUT any per-element gather: scatter per-edge DIFFS at the run
+    starts and prefix-sum along the row.  Float values diff in their
+    int32 BIT pattern (wrapping add/cumsum reconstructs exactly).
+    Measured 10.7 ms vs 59 ms for the r4 pair gather plus 10 ms for the
+    a_id scatter-max grid it replaces (experiments/r5_spgemm_prims.py).
+
+    NOTE: no ``mode="drop"`` sentinel column — the TPU scatter-ADD
+    emitter mis-sums in-range updates when a drop-sentinel index column
+    is present (measured, same experiment; scatter-MAX is unaffected).
+    Dropped edges scatter an explicit zero at (row, 0) instead.
+
+    Differentiable in ``valA`` via a custom VJP: the cotangent of edge e
+    is the sum of the grid cotangent over its contiguous run
+    ``[le_e, le_next)`` — two small gathers into a row cumsum, not a
+    full-grid scatter."""
+    nE = rowA.shape[0]
+    eidx = jnp.arange(nE, dtype=jnp.int32)
+    tag = jnp.where(le_keep, eidx, -1)
+    prev_kept = jax.lax.cummax(
+        jnp.concatenate([jnp.full((1,), -1, jnp.int32), tag[:-1]]))
+    pk = jnp.clip(prev_kept, 0, nE - 1)
+    chain = (prev_kept >= 0) & (rowA[pk] == rowA)
+    vbits = jax.lax.bitcast_convert_type(
+        valA.astype(jnp.float32), jnp.int32)
+    d_boff = jnp.where(le_keep,
+                       jnp.where(chain, b_off - b_off[pk], b_off), 0)
+    d_bits = jnp.where(le_keep,
+                       jnp.where(chain, vbits - vbits[pk], vbits), 0)
+    r_idx = jnp.minimum(rowA, M - 1)
+    le_in = jnp.where(le_keep, le_e, 0).astype(jnp.int32)
+    boff_grid = jnp.cumsum(
+        jnp.zeros((M, F), jnp.int32).at[r_idx, le_in].add(d_boff),
+        axis=1)
+    va_grid = jax.lax.bitcast_convert_type(
+        jnp.cumsum(
+            jnp.zeros((M, F), jnp.int32).at[r_idx, le_in].add(d_bits),
+            axis=1), jnp.float32)
+    return boff_grid, va_grid
+
+
+def _ehl_fwd(M, F, valA, b_off, rowA, le_e, le_keep):
+    out = _expand_holds_last(M, F, valA, b_off, rowA, le_e, le_keep)
+    return out, (rowA, le_e, le_keep)
+
+
+def _ehl_bwd(M, F, res, cts):
+    import numpy as np
+    rowA, le_e, le_keep = res
+    _, ct_va = cts
+    nE = rowA.shape[0]
+    eidx = jnp.arange(nE, dtype=jnp.int32)
+    nxt = jnp.concatenate([
+        jnp.flip(jax.lax.cummin(jnp.flip(
+            jnp.where(le_keep, eidx, nE))))[1:],
+        jnp.full((1,), nE, jnp.int32)])
+    nxt_cl = jnp.clip(nxt, 0, nE - 1)
+    le_next = jnp.where((nxt < nE) & (rowA[nxt_cl] == rowA),
+                        le_e[nxt_cl], F).astype(jnp.int32)
+    r_idx = jnp.minimum(rowA, M - 1)
+    ce = jnp.concatenate(
+        [jnp.zeros((M, 1), ct_va.dtype), jnp.cumsum(ct_va, axis=1)],
+        axis=1)
+    lo = jnp.clip(le_e, 0, F).astype(jnp.int32)
+    d_valA = jnp.where(le_keep,
+                       ce[r_idx, le_next] - ce[r_idx, lo],
+                       0.0).astype(jnp.float32)
+    z = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    return (d_valA, z(rowA), z(rowA), z(le_e), z(le_keep))
+
+
+_expand_holds_last.defvjp(_ehl_fwd, _ehl_bwd)
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def spspmm_rowsorted(A: PaddedCOO, B: PaddedCOO, row_flop_capacity: int,
                      out_capacity: int) -> SpGEMMResult:
@@ -222,22 +299,16 @@ def spspmm_rowsorted(A: PaddedCOO, B: PaddedCOO, row_flop_capacity: int,
                             jnp.cumsum(row_flops)])
 
     # --- expansion laid out on the (M, F) grid -------------------------
-    # a_id via 2-D scatter-max + per-row cummax (no binary search — see
-    # spspmm_padded): edge e starts at local flop offset
-    # ptrE[e] - rowE[row(e)] within its row; empty-fanout edges are
-    # dropped (their start collides with the next edge's)
+    # edge e starts at local flop offset ptrE[e] - rowE[row(e)] within
+    # its row; empty-fanout edges occupy no slot
     f_off = jnp.arange(F, dtype=ptrE.dtype)[None, :]
     gfi = rowE[:-1, None] + f_off                   # global flop index
     valid = f_off < row_flops[:, None]
-    le = ptrE[:-1] - rowE[jnp.minimum(rowA, M)]
-    le = jnp.where((degB > 0) & (le < F), le, F)    # F = drop slot
-    edge_ids = jnp.arange(A.capacity, dtype=jnp.int32)
-    a0 = jnp.zeros((M, F), jnp.int32).at[
-        jnp.minimum(rowA, M - 1), le].max(edge_ids, mode="drop")
-    a_id = jnp.clip(jax.lax.cummax(a0, axis=1), 0, A.capacity - 1)
+    le_e = ptrE[:-1] - rowE[jnp.minimum(rowA, M)]
+    le_keep = (degB > 0) & (le_e < F)
     gfi_c = jnp.minimum(gfi, jnp.maximum(ptrE[-1] - 1, 0))
     # per-edge b-offset precomposed so the expansion needs ONE (M, F)
-    # gather here instead of two chained ones (ptrE[a_id] then
+    # lookup here instead of two chained ones (ptrE[a_id] then
     # rowptrB[colA[a_id]])
     b_off = (rowptrB[colA] - ptrE[:-1]).astype(jnp.int32)
 
@@ -250,18 +321,23 @@ def spspmm_rowsorted(A: PaddedCOO, B: PaddedCOO, row_flop_capacity: int,
         common = jnp.promote_types(valA.dtype, valB.dtype)
 
     if has_val and common == jnp.float32:
-        # pair-packed gathers: the four scalar expansion gathers are the
-        # measured bottleneck (~580 of 718 ms at probe scale); packing
-        # (b_off, valA) and (colB, valB) as 2-wide int32 rows halves the
-        # gather count
-        boff_g, va_g = _paired_gather(b_off, valA, a_id.reshape(-1))
-        b_pos = jnp.clip(boff_g.reshape(M, F) + gfi_c, 0,
-                         B.capacity - 1)
+        # gather-free A-side expansion (round 5) — see
+        # :func:`_expand_holds_last`
+        boff_grid, va_grid = _expand_holds_last(
+            M, F, valA.astype(jnp.float32), b_off, rowA,
+            le_e.astype(jnp.int32), le_keep)
+        b_pos = jnp.clip(boff_grid + gfi_c, 0, B.capacity - 1)
         colb_g, vb_g = _paired_gather(B.col, valB, b_pos.reshape(-1))
         key = jnp.where(valid, colb_g.reshape(M, F), N).astype(jnp.int32)
-        prod = jnp.where(valid,
-                         (va_g * vb_g).reshape(M, F), 0.0)
+        prod = jnp.where(valid, va_grid * vb_g.reshape(M, F), 0.0)
     else:
+        # a_id via 2-D scatter-max + per-row cummax (no binary search —
+        # see spspmm_padded); F is the drop slot for empty-fanout edges
+        le = jnp.where(le_keep, le_e, F)
+        edge_ids = jnp.arange(A.capacity, dtype=jnp.int32)
+        a0 = jnp.zeros((M, F), jnp.int32).at[
+            jnp.minimum(rowA, M - 1), le].max(edge_ids, mode="drop")
+        a_id = jnp.clip(jax.lax.cummax(a0, axis=1), 0, A.capacity - 1)
         b_pos = jnp.clip(b_off[a_id] + gfi_c, 0, B.capacity - 1)
         key = jnp.where(valid, B.col[b_pos], N).astype(jnp.int32)
         prod = (jnp.where(valid, valA[a_id].astype(common)
@@ -270,11 +346,47 @@ def spspmm_rowsorted(A: PaddedCOO, B: PaddedCOO, row_flop_capacity: int,
 
     if prod is not None:
         key, prod = jax.lax.sort((key, prod), dimension=1, num_keys=1)
-        prod = prod.reshape(-1)
     else:
         key = jnp.sort(key, axis=1)
 
     # --- compress (flattened stream is (row, col)-sorted) --------------
+    # Pallas monotone-segment compaction (round 5): the three fused
+    # segment ops are the measured compress bottleneck (~140 of 273 ms
+    # at probe scale — experiments/r5_spgemm_bisect.py); the kernel in
+    # ops/kernels/segcompact.py streams chunk-sized one-hot MXU
+    # reductions and 128-aligned element-offset DMAs instead.  Measured
+    # at the probe: 277.8 ms/iter vs 254.5 for the segment ops — the
+    # one-hot selection matrix costs O(stream * chunk) VPU lanes, which
+    # reproduces the ~9 ns/element emitter cost it was meant to beat
+    # (BASELINE.md round-5 section).  Kept opt-in as the documented
+    # experiment: PSP_SPGEMM_COMPRESS=kernel.
+    import os as _os
+    from ..ops.spmm_seg2 import _interpret_mode
+    _mode = _os.environ.get("PSP_SPGEMM_COMPRESS", "segops")
+    use_kernel = (prod is not None and M < (1 << 24) and N < (1 << 24)
+                  and _mode == "kernel")
+    if use_kernel:
+        from ..ops.kernels.segcompact import compact_runs
+        _E = int(_os.environ.get("PSP_SEGCOMPACT_E", "1024"))
+        rowK, colK, valK, unique_count = compact_runs(
+            N, out_capacity, _E, _interpret_mode(), key, prod,
+            jnp.arange(M, dtype=jnp.int32))
+        new_nnz = jnp.minimum(unique_count, out_capacity).astype(
+            jnp.int32)
+        arange_out = jnp.arange(out_capacity)
+        live = arange_out < new_nnz
+        rowC = jnp.where(live, rowK, M).astype(idx)
+        colC = jnp.where(live, colK, N).astype(idx)
+        valC = jnp.where(live, valK, 0)
+        row_flops_over = (row_flops > F).any()
+        C = PaddedCOO(row=rowC, col=colC, value=valC, nnz=new_nnz,
+                      shape=(M, N))
+        return SpGEMMResult(
+            matrix=C,
+            overflowed=row_flops_over | (unique_count > out_capacity))
+
+    if prod is not None:
+        prod = prod.reshape(-1)
     first2d = (key < N) & jnp.concatenate(
         [jnp.ones((M, 1), bool), key[:, 1:] != key[:, :-1]], axis=1)
     first = first2d.reshape(-1)
@@ -412,24 +524,34 @@ def spspmm_rowblocked(A: PaddedCOO, B: PaddedCOO, row_flop_capacity: int,
         le_b = jnp.where(
             local_ids < ecnt,
             jax.lax.dynamic_slice(le_p, (estart,), (EB,)), F)
-        a0 = jnp.zeros((MB, F), jnp.int32).at[rows_b, le_b].max(
-            local_ids, mode="drop")
-        a_loc = jnp.clip(jax.lax.cummax(a0, axis=1), 0, EB - 1)
-        a_idg = (a_loc + estart).reshape(-1)
         gfi = rowE_b[:, None] + f_off
         gfi_c = jnp.minimum(gfi, jnp.maximum(total_flops - 1, 0))
         valid = f_off < rf_b[:, None]
 
         if has_val and valA.dtype == jnp.float32:
-            boff_g, va_g = _paired_gather(boff_p, valA_p, a_idg)
-            b_pos = jnp.clip(boff_g.reshape(MB, F) + gfi_c, 0,
-                             B.capacity - 1)
+            # gather-free A-side expansion per block (round 5) — see
+            # :func:`_expand_holds_last`; pad edges carry le == F, so
+            # they are dropped by the keep mask and their clipped row
+            # ids are harmless (they scatter zeros at (row, 0))
+            keep_b = le_b < F
+            boff_grid, va_grid = _expand_holds_last(
+                MB, F,
+                jax.lax.dynamic_slice(valA_p, (estart,), (EB,)),
+                jax.lax.dynamic_slice(boff_p, (estart,), (EB,)),
+                rows_b, jnp.where(keep_b, le_b, 0).astype(jnp.int32),
+                keep_b)
+            b_pos = jnp.clip(boff_grid + gfi_c, 0, B.capacity - 1)
             colb_g, vb_g = _paired_gather(B.col, valB,
                                           b_pos.reshape(-1))
             key = jnp.where(valid, colb_g.reshape(MB, F),
                             N).astype(jnp.int32)
-            prod = jnp.where(valid, (va_g * vb_g).reshape(MB, F), 0.0)
+            prod = jnp.where(valid,
+                             va_grid * vb_g.reshape(MB, F), 0.0)
         else:
+            a0 = jnp.zeros((MB, F), jnp.int32).at[rows_b, le_b].max(
+                local_ids, mode="drop")
+            a_loc = jnp.clip(jax.lax.cummax(a0, axis=1), 0, EB - 1)
+            a_idg = (a_loc + estart).reshape(-1)
             b_pos = jnp.clip(
                 jnp.take(boff_p, a_idg, mode="clip").reshape(MB, F)
                 + gfi_c, 0, B.capacity - 1)
