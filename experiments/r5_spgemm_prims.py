@@ -1,6 +1,18 @@
 """Round-5: verify the three SpGEMM primitive replacements before the
 kernel rewrite.
 
+MEASURED (TPU v5e, 800k-nnz A, 12.8M flops): 1-D cumsum 5.9 ms / 2-D
+minor+offsets 3.0 ms; sorted segment_sum 114.9 ms (~9 ns/elem);
+windowed lax.gather 1063 ms (pathological — closes that formulation);
+A-side scatter-diff + 2-D cumsum 10.7 ms, equality True after chaining
+diffs through the previous KEPT edge (adopted:
+core/spgemm.py::_expand_holds_last).  Verification also surfaced a TPU
+scatter-ADD emitter bug: with a drop-sentinel index column present
+(.at[r, le].add(d, mode="drop"), le == F on an (M, F+1) grid) the
+IN-RANGE updates are silently mis-summed at this scale — scatter-MAX
+with the same index pattern is unaffected.  Workaround everywhere:
+mask dropped VALUES to zero and keep indices in range.
+
 1. global 1-D cumsum over the (M*F) stream (measured inside compress:
    ~100 ms) vs 2-D minor-axis cumsum + per-row offset (mathematically
    identical for row-major grids).
@@ -176,17 +188,21 @@ def main():
         jnp.concatenate([jnp.full((1,), -1, jnp.int32), tag[:-1]]))
     pk_cl = jnp.clip(prev_kept, 0, nE - 1)
     same_row = (prev_kept >= 0) & (rowA[pk_cl] == rowA)
-    d_boff = jnp.where(same_row, b_off - b_off[pk_cl], b_off)
+    # masked-value scatter, indices kept IN range: the drop-column form
+    # (.at[r, le_cl].add(d, mode="drop") with le_cl == F sentinels on an
+    # (M, F+1) grid) triggers the TPU emitter bug documented above
+    d_boff = jnp.where(le_ok,
+                       jnp.where(same_row, b_off - b_off[pk_cl], b_off),
+                       0)
     r_idx = jnp.minimum(rowA, M - 1)
-    le_cl = jnp.where(le_ok, le, F)
+    le_cl = jnp.where(le_ok, le, 0)
     jax.block_until_ready((d_boff, r_idx, le_cl))
 
     def aside_diff(db, n):
         def body(i, acc):
             dbc = db + (acc * 0.0).astype(jnp.int32)
-            g0 = jnp.zeros((M, F + 1), jnp.int32).at[r_idx, le_cl].add(
-                dbc, mode="drop")
-            boff_grid = jnp.cumsum(g0[:, :F], axis=1)
+            g0 = jnp.zeros((M, F), jnp.int32).at[r_idx, le_cl].add(dbc)
+            boff_grid = jnp.cumsum(g0, axis=1)
             return (jnp.sum(boff_grid).astype(jnp.float32)) * 1e-12
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
@@ -201,9 +217,8 @@ def main():
         jnp.minimum(rowA, M - 1), le_full].max(edge_ids, mode="drop")
     a_id = jnp.clip(jax.lax.cummax(a0, axis=1), 0, A.capacity - 1)
     want = b_off[a_id]
-    g0 = jnp.zeros((M, F + 1), jnp.int32).at[r_idx, le_cl].add(
-        d_boff, mode="drop")
-    got = jnp.cumsum(g0[:, :F], axis=1)
+    g0 = jnp.zeros((M, F), jnp.int32).at[r_idx, le_cl].add(d_boff)
+    got = jnp.cumsum(g0, axis=1)
     valid2d = f_off < row_flops[:, None]
     same = jnp.where(valid2d, want == got, True)
     log(f"A-side diff reconstruction == gather: {bool(jnp.all(same))}")
